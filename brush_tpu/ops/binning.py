@@ -1,0 +1,172 @@
+"""Tile binning: map splats to (tile, splat) intersection records.
+
+The reference builds this with GPU-side atomic compaction, two radix sorts
+and an indirect-dispatched expansion kernel (reference: render.rs:123-265,
+map_gaussian_to_intersects.wgsl, get_tile_bin_edges.wgsl). TPU/XLA has no
+atomics or dynamic dispatch, so the same structure is built with static
+shapes:
+
+- depth ordering: one `sort` over the padded splat array with +inf keys for
+  culled splats (replaces brush-sort's 32-bit radix argsort + compaction);
+- expansion: a fixed pool of MAX_ISECTS intersection slots. Slot -> splat
+  mapping is recovered with a scatter + cummax over bbox-area prefix sums
+  (no searchsorted, O(MAX_ISECTS)); each slot decodes its tile from its rank
+  inside the splat's tile bbox.
+- the exact ellipse/AABB tile test (helpers.wgsl:220-279) is applied per
+  *slot* rather than twice per splat; rejected slots get a sentinel key and
+  sort to the end, which reproduces the reference's intersection list
+  exactly (same records, same order).
+- tile ranges come from searchsorted over the sorted keys (replaces
+  get_tile_bin_edges.wgsl boundary detection).
+
+The whole pipeline is index bookkeeping — gradients never flow through it
+(mirrors the reference, where these buffers are plain integer workspaces).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from brush_tpu.constants import TILE_WIDTH
+from brush_tpu.ops.projection import Projection
+
+
+def _check_edge(p1x, p1y, p2x, p2y, ex, ey, ca, cb, cc):
+    """Segment vs unit-level-set-of-conic intersection (helpers.wgsl:220-236)."""
+    dx = p2x - p1x
+    dy = p2y - p1y
+    fx = p1x - ex
+    fy = p1y - ey
+    # dot(v * conic, w) with conic = [[ca, cb], [cb, cc]]
+    a = dx * (ca * dx + cb * dy) + dy * (cb * dx + cc * dy)
+    b = 2.0 * (fx * (ca * dx + cb * dy) + fy * (cb * dx + cc * dy))
+    c = fx * (ca * fx + cb * fy) + fy * (cb * fx + cc * fy) - 1.0
+    disc = b * b - 4.0 * a * c
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    denom = 2.0 * a
+    t1 = (-b - sqrt_disc) / denom
+    t2 = (-b + sqrt_disc) / denom
+    hit = ((t1 >= 0.0) & (t1 <= 1.0)) | ((t2 >= 0.0) & (t2 <= 1.0))
+    return (disc >= 0.0) & hit
+
+
+def ellipse_intersects_aabb(box_x, box_y, ext, ex, ey, ca, cb, cc):
+    """Ellipse (conic level set 1) vs AABB test (helpers.wgsl:238-262)."""
+    dx_c = ex - box_x
+    dy_c = ey - box_y
+    center_inside = (jnp.abs(dx_c) <= ext) & (jnp.abs(dy_c) <= ext)
+
+    sx = jnp.sign(dx_c)
+    sy = jnp.sign(dy_c)
+    nx = box_x + sx * ext
+    ny = box_y + sy * ext
+    cpx = nx - ex
+    cpy = ny - ey
+    corner_inside = cpx * (ca * cpx + cb * cpy) + cpy * (cb * cpx + cc * cpy) <= 1.0
+
+    e1x = nx - sx * 2.0 * ext
+    e2y = ny - sy * 2.0 * ext
+    edge1 = _check_edge(nx, ny, e1x, ny, ex, ey, ca, cb, cc)
+    edge2 = _check_edge(nx, ny, nx, e2y, ex, ey, ca, cb, cc)
+    return center_inside | corner_inside | edge1 | edge2
+
+
+def can_be_visible(tile_x, tile_y, xy, conic, opac):
+    """Does the splat's 1/255-alpha iso-ellipse touch this tile?
+
+    (helpers.wgsl:264-279). tile_x/tile_y are integer tile coords.
+    """
+    sigma = jnp.log(opac * 255.0)
+    scale = 1.0 / (2.0 * sigma)
+    ca = conic[..., 0] * scale
+    cb = conic[..., 1] * scale
+    cc = conic[..., 2] * scale
+    ext = float(TILE_WIDTH) / 2.0
+    cx = tile_x.astype(jnp.float32) * TILE_WIDTH + ext
+    cy = tile_y.astype(jnp.float32) * TILE_WIDTH + ext
+    hit = ellipse_intersects_aabb(cx, cy, ext, xy[..., 0], xy[..., 1], ca, cb, cc)
+    return (sigma > 0.0) & hit
+
+
+class Intersections(NamedTuple):
+    """Static-shape intersection workspace (all integer index bookkeeping)."""
+
+    order: jnp.ndarray        # (N,) depth order: compact -> global splat id
+    isect_gid: jnp.ndarray    # (MAX_ISECTS,) intersection -> compact splat id
+    tile_bins: jnp.ndarray    # (num_tiles + 1,) range boundaries per tile
+    num_visible: jnp.ndarray  # () int32
+    num_isects: jnp.ndarray   # () int32 (records surviving the exact test)
+
+
+def build_intersections(
+    proj: Projection,
+    opac: jnp.ndarray,
+    tile_bounds: tuple[int, int],
+    max_isects: int,
+) -> Intersections:
+    """Build depth-then-tile ordered intersection records.
+
+    All inputs are in *global* (unsorted) splat order; outputs index the
+    depth-compact order via `order`.
+    """
+    n = proj.xy.shape[0]
+    tiles_x, tiles_y = tile_bounds
+    num_tiles = tiles_x * tiles_y
+
+    # --- depth sort (replaces radix_argsort, render.rs:151-156) ---
+    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)  # stable
+    num_visible = jnp.sum(proj.visible).astype(jnp.int32)
+
+    xy = proj.xy[order]
+    conic = proj.conic[order]
+    opac_c = opac[order]
+    tmin = proj.tile_min[order]
+    tmax = proj.tile_max[order]
+    visible = proj.visible[order]
+
+    # --- expansion offsets from bbox areas ---
+    bbox_w = (tmax[:, 0] - tmin[:, 0]).astype(jnp.int32)
+    bbox_h = (tmax[:, 1] - tmin[:, 1]).astype(jnp.int32)
+    areas = jnp.where(visible, bbox_w * bbox_h, 0)
+    cum = jnp.cumsum(areas)
+    offsets = cum - areas
+    total = cum[-1]
+
+    # --- slot -> compact splat id via scatter + cummax ---
+    scatter_idx = jnp.where(areas > 0, offsets, max_isects)  # dropped if ==max
+    marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].max(
+        jnp.arange(n, dtype=jnp.int32) + 1, mode="drop"
+    )
+    slot_splat = jax.lax.cummax(marks) - 1  # -1 before first offset
+    slot = jnp.arange(max_isects, dtype=jnp.int32)
+    splat = jnp.clip(slot_splat, 0, n - 1)
+
+    rank = slot - offsets[splat]
+    w = jnp.maximum(bbox_w[splat], 1)
+    tile_x = tmin[splat, 0] + rank % w
+    tile_y = tmin[splat, 1] + rank // w
+    tile_id = tile_y * tiles_x + tile_x
+
+    in_pool = (slot_splat >= 0) & (slot < total)
+    exact = can_be_visible(tile_x, tile_y, xy[splat], conic[splat], opac_c[splat])
+    valid = in_pool & exact
+
+    # --- tile sort (replaces the second radix sort + bin edges kernel) ---
+    key = jnp.where(valid, tile_id, num_tiles)
+    sorted_key, isect_gid = jax.lax.sort_key_val(key, splat, is_stable=True)
+
+    boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    tile_bins = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)
+    num_isects = tile_bins[-1]
+
+    return Intersections(
+        order=order,
+        isect_gid=isect_gid,
+        tile_bins=tile_bins,
+        num_visible=num_visible,
+        num_isects=num_isects,
+    )
