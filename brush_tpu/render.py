@@ -1,0 +1,127 @@
+"""The differentiable render pipeline (reference: brush-render/src/render.rs).
+
+Stages (mirroring render.rs:55-323 with TPU-native mechanics):
+  1. project all splats densely with a validity mask       (ProjectSplats)
+  2. depth ordering via one sort over the padded array     (DepthSort)
+  3. SH color + opacity for all splats                     (ProjectVisible)
+  4. static-pool intersection expansion + tile sort + bins (MapGaussians...,
+     TileSort, GetTileBinEdges — see ops/binning.py)
+  5. tiled rasterization with custom VJP                   (Rasterize /
+     RasterizeBackwards — see ops/rasterize_tiled.py)
+
+Differentiation: stages 1 and 3 are plain traced JAX (autodiff replaces the
+hand-written project_backwards.wgsl / gather_grads.wgsl VJPs); stage 4 is
+integer bookkeeping under stop_gradient; stage 5 carries the custom VJP.
+
+The reference threads a zero "xys_dummy" parameter through its autodiff op
+so screen-space gradients surface for densification (gaussian_splats.rs:32,
+render.rs:606-608). Same trick here: `xy_dummy` is added to the projected
+centers, so d(loss)/d(xy_dummy) lands at *global* splat indices.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from brush_tpu.constants import TILE_WIDTH, sh_degree_from_coeffs
+from brush_tpu.ops.binning import build_intersections
+from brush_tpu.ops.projection import project_splats
+from brush_tpu.ops.rasterize_reference import CameraParams
+from brush_tpu.ops.rasterize_tiled import assemble_image, make_rasterizer
+from brush_tpu.ops.sh import sh_to_color
+
+
+class RenderAux(NamedTuple):
+    """Side outputs of a render (reference: RenderAux, lib.rs:21-33)."""
+
+    num_visible: jnp.ndarray   # () int32
+    num_isects: jnp.ndarray    # () int32
+    visible: jnp.ndarray       # (N,) bool, global order
+    order: jnp.ndarray         # (N,) depth order: compact -> global id
+
+
+def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
+    """Static intersection-pool size.
+
+    The reference caps its intersection buffer at min(N*tiles, 128*65535)
+    because wasm cannot read back the true count (render.rs:199-208); we cap
+    for the same static-shape reason, with a larger default pool (TPU HBM is
+    plentiful and slots are 4 bytes).
+    """
+    tiles = (-(-int(img_size[0]) // TILE_WIDTH)) * (-(-int(img_size[1]) // TILE_WIDTH))
+    return min(n * tiles, cap)
+
+
+def render_splats(
+    means: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    raw_opacity: jnp.ndarray,
+    cam: CameraParams,
+    img_size,
+    xy_dummy: jnp.ndarray | None = None,
+    active: jnp.ndarray | None = None,
+    max_isects: int | None = None,
+    block_size: int = 32,
+) -> tuple[jnp.ndarray, RenderAux]:
+    """Render (h, w, 4) RGBA. img_size is (w, h) static.
+
+    quats are normalized internally (gaussian_splats.rs:174-175).
+    """
+    n = means.shape[0]
+    w, h = int(img_size[0]), int(img_size[1])
+    tiles_x = -(-w // TILE_WIDTH)
+    tiles_y = -(-h // TILE_WIDTH)
+    if max_isects is None:
+        max_isects = default_max_isects(n, img_size)
+
+    quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
+
+    proj = project_splats(
+        means, log_scales, quats_n,
+        cam.viewmat, cam.focal, cam.pixel_center, img_size, active=active,
+    )
+
+    # SH color (project_visible.wgsl:232-235; see camera.py for the viewdir
+    # convention quirk replicated here).
+    cam_pos = cam.viewmat[:3, 3]
+    viewdir = means - cam_pos
+    viewdir = viewdir / jnp.linalg.norm(viewdir, axis=-1, keepdims=True).clip(1e-12)
+    viewdir = jax.lax.stop_gradient(viewdir)
+    sh_degree = sh_degree_from_coeffs(sh_coeffs.shape[1])
+    color = sh_to_color(sh_degree, viewdir, sh_coeffs)
+    opac = jax.nn.sigmoid(raw_opacity)
+
+    # Integer index bookkeeping — no gradients flow through it.
+    isect = build_intersections(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
+        jax.lax.stop_gradient(opac),
+        (tiles_x, tiles_y),
+        max_isects,
+    )
+    order = isect.order
+
+    xy = proj.xy
+    if xy_dummy is not None:
+        xy = xy + xy_dummy
+
+    # Differentiable gathers into depth-compact order: cotangents scatter
+    # back to global splat indices automatically.
+    raster = make_rasterizer(tiles_x, tiles_y, max_isects, block_size)
+    img_tiles = raster(
+        xy[order], proj.conic[order], color[order], opac[order],
+        isect.isect_gid, isect.tile_bins,
+    )
+    img = assemble_image(img_tiles, img_size, tiles_x, tiles_y)
+
+    aux = RenderAux(
+        num_visible=isect.num_visible,
+        num_isects=isect.num_isects,
+        visible=proj.visible,
+        order=order,
+    )
+    return img, aux
