@@ -1,0 +1,47 @@
+"""Held-out evaluation: PSNR / SSIM (reference: brush-train/src/eval.rs)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from brush_tpu.ops.rasterize_reference import camera_params
+from brush_tpu.render import render_splats
+from brush_tpu.splats import Splats
+from brush_tpu.ssim import Ssim
+
+
+class EvalView(NamedTuple):
+    psnr: float
+    ssim: float
+
+
+def psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
+    """PSNR = 10 * log10(1 / mse) (eval.rs:60)."""
+    return 10.0 * jnp.log(1.0 / mse) / jnp.log(10.0)
+
+
+def eval_view(
+    splats: Splats, camera, gt_image: np.ndarray, block_size: int = 32
+) -> EvalView:
+    """PSNR/SSIM of one view; MSE on RGB only (eval.rs:48-65)."""
+    h, w = gt_image.shape[:2]
+    cam = camera_params(camera, (w, h))
+    img, _ = render_splats(
+        splats.means, splats.log_scales, splats.quats,
+        splats.sh_coeffs, splats.raw_opacity,
+        cam, (w, h), active=splats.active_mask(), block_size=block_size,
+    )
+    render_rgb = img[..., :3]
+    gt_rgb = jnp.asarray(gt_image[..., :3], jnp.float32)
+    mse = jnp.mean((render_rgb - gt_rgb) ** 2)
+    psnr = float(psnr_from_mse(mse))
+    ssim = float(Ssim(11, 3).ssim(render_rgb[None], gt_rgb[None]))
+    return EvalView(psnr=psnr, ssim=ssim)
+
+
+def eval_stats(splats: Splats, views, block_size: int = 32) -> list[EvalView]:
+    """Evaluate a list of (camera, gt_image) pairs (eval.rs:27-77)."""
+    return [eval_view(splats, cam, img, block_size) for cam, img in views]

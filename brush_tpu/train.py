@@ -1,0 +1,407 @@
+"""Training loop: loss, per-group Adam, densification statistics, refinement.
+
+Mirrors the reference trainer (reference: brush-train/src/train.rs):
+  step  = render -> L1 + SSIM loss -> backward -> per-group Adam with
+          distinct LRs -> screen-space-gradient accumulation
+          (train.rs:211-393)
+  refine = clone small / split large high-gradient splats, prune transparent
+          or oversized ones, periodic opacity reset (train.rs:395-578)
+
+TPU-first differences:
+  - All shapes are static: splats live in a padded capacity-C buffer and
+    refinement compacts/concatenates via a stable sort over 2C candidate
+    rows instead of argwhere + dynamic concat (train.rs:420-537). The live
+    count comes back to the host once per refine (the reference also reads
+    back via argwhere_async, train.rs:427,458).
+  - Adam moments survive refinement via state surgery (permute + zero new
+    rows) instead of the reference's full optimizer reset (train.rs:567-568).
+    `TrainConfig.keep_opt_state_on_refine=False` restores reference behavior.
+  - Capacity grows in buckets (x2) when refinement would overflow,
+    recompiling rarely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brush_tpu.camera import Camera
+from brush_tpu.config import TrainConfig
+from brush_tpu.optim import AdamState, adam_step, init_adam
+from brush_tpu.ops.rasterize_reference import CameraParams, camera_params
+from brush_tpu.render import render_splats
+from brush_tpu.splats import PADDING_RAW_OPACITY, Splats, inverse_sigmoid
+from brush_tpu.ssim import Ssim
+
+
+@dataclasses.dataclass
+class SceneBatch:
+    """One training view (the reference asserts batch size 1, train.rs:217)."""
+
+    gt_image: np.ndarray       # (H, W, 3|4) float32 in [0, 1]
+    camera: Camera
+    scene_extent: float = 1.0
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["splats", "opt", "grad_2d_accum", "xy_grad_counts"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class TrainState:
+    splats: Splats
+    opt: AdamState
+    grad_2d_accum: jnp.ndarray   # (C,) f32
+    xy_grad_counts: jnp.ndarray  # (C,) i32
+
+
+class StepStats(NamedTuple):
+    loss: jnp.ndarray
+    num_visible: jnp.ndarray
+    num_isects: jnp.ndarray
+
+
+class RefineStats(NamedTuple):
+    num_cloned: jnp.ndarray
+    num_split: jnp.ndarray
+    num_pruned_alpha: jnp.ndarray
+    num_pruned_scale: jnp.ndarray
+    n_live: jnp.ndarray
+
+
+def quat_rotate(quats: jnp.ndarray, vecs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vectors into the splat frame: R(q) @ v.
+
+    The reference's hand-expanded version (train.rs:140-177,
+    quaternion_vec_multiply) does not actually compute a rotation — its
+    term expansion is wrong (verifiable numerically against R(q) @ v). The
+    result only randomizes split offsets, so training still works there; we
+    use the correct rotation, which is the intended semantics.
+    """
+    from brush_tpu.ops.projection import quat_to_rotmat
+
+    rot = quat_to_rotmat(quats)
+    return jnp.einsum("nij,nj->ni", rot, vecs)
+
+
+class SplatTrainer:
+    """Host-side orchestration around jitted step/refine functions.
+
+    Jitted computations are cached per (capacity, image size, channels);
+    capacity growth and the refine cadence live on the host, mirroring the
+    reference's train_loop (brush-viewer/src/train_loop.rs:102-172).
+    """
+
+    def __init__(self, config: TrainConfig | None = None, raster_block_size: int = 32):
+        self.config = config or TrainConfig()
+        self.iter = 0
+        self.raster_block_size = raster_block_size
+        self._ssim = Ssim(self.config.ssim_window_size, 3)
+        self._key = jax.random.PRNGKey(self.config.seed)
+        self.last_refine_stats = None
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, splats: Splats) -> TrainState:
+        cap = splats.capacity
+        return TrainState(
+            splats=splats,
+            opt=init_adam(splats.params()),
+            grad_2d_accum=jnp.zeros((cap,), jnp.float32),
+            xy_grad_counts=jnp.zeros((cap,), jnp.int32),
+        )
+
+    def step(self, state: TrainState, batch: SceneBatch) -> tuple[TrainState, StepStats]:
+        cfg = self.config
+        img = np.asarray(batch.gt_image, np.float32)
+        h, w, channels = img.shape
+        img_size = (w, h)
+
+        lr_mean = cfg.lr_mean_at(self.iter)
+        if cfg.scale_mean_lr_by_extent:
+            lr_mean *= batch.scene_extent
+
+        cam = camera_params(batch.camera, img_size)
+        step_fn = self._get_step_fn(state.splats.capacity, img_size, channels,
+                                    state.splats.sh_count)
+
+        pre_splats = state.splats
+        state, stats = step_fn(
+            state, jnp.asarray(img), cam, jnp.float32(lr_mean),
+            jnp.int32(self.iter),
+        )
+
+        do_refine = (
+            self.iter < cfg.max_refine_step
+            and self.iter >= cfg.warmup_steps
+            and self.iter % cfg.refine_every == 1
+        )
+        self.last_refine_stats = None
+        if do_refine:
+            state, self.last_refine_stats = self._refine(state, pre_splats)
+
+        self.iter += 1
+        return state, stats
+
+    # ------------------------------------------------------------------ #
+
+    @functools.lru_cache(maxsize=16)
+    def _get_step_fn(self, capacity: int, img_size: tuple, channels: int, sh_count: int):
+        cfg = self.config
+        w, h = img_size
+        ssim = self._ssim
+        block = self.raster_block_size
+
+        def loss_fn(params, xy_dummy, gt, cam, active):
+            img, aux = render_splats(
+                params["means"], params["log_scales"], params["quats"],
+                params["sh_coeffs"], params["raw_opacity"],
+                cam, img_size, xy_dummy=xy_dummy, active=active,
+                block_size=block,
+            )
+            pred = img if channels == 4 else img[..., :3]
+            l1 = jnp.mean(jnp.abs(pred - gt))
+            if cfg.ssim_weight > 0.0:
+                ssim_val = ssim.ssim(img[None, ..., :3], gt[None, ..., :3])
+                loss = l1 * (1.0 - cfg.ssim_weight) - ssim_val * cfg.ssim_weight
+            else:
+                loss = l1
+            return loss, aux
+
+        def step_fn(state: TrainState, gt, cam: CameraParams, lr_mean, step):
+            splats = state.splats
+            params = splats.params()
+            active = splats.active_mask()
+            xy_dummy = jnp.zeros((capacity, 2), jnp.float32)
+
+            (loss, aux), (pgrads, xy_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(params, xy_dummy, gt, cam, active)
+
+            # Densification statistics (train.rs:284-316): screen-space
+            # gradient norms scaled to half-image units, gated past warmup.
+            gate = (step > cfg.warmup_steps).astype(jnp.float32)
+            xys_scaled = xy_grads * jnp.asarray([w / 2.0, h / 2.0], jnp.float32)
+            norms = jnp.sqrt(jnp.sum(xys_scaled**2, axis=1))
+            seen = (jnp.arange(capacity) < aux.num_visible).astype(jnp.int32)
+            counts_inc = jnp.zeros((capacity,), jnp.int32).at[aux.order].add(seen)
+            grad_accum = state.grad_2d_accum + gate * norms
+            counts = state.xy_grad_counts + (gate.astype(jnp.int32) * counts_inc)
+
+            # Per-group LRs; SH orders > 0 at lr/20 (train.rs:334-348).
+            sh_scale = jnp.concatenate(
+                [jnp.ones((1,)), jnp.full((sh_count - 1,), 1.0 / cfg.lr_coeffs_sh_scale)]
+            ).reshape(1, sh_count, 1) if sh_count > 1 else jnp.ones((1, 1, 1))
+            lrs = {
+                "means": lr_mean,
+                "raw_opacity": cfg.lr_opac,
+                "sh_coeffs": cfg.lr_coeffs_dc * sh_scale,
+                "quats": cfg.lr_rotation,
+                "log_scales": cfg.lr_scale,
+            }
+            new_params, opt = adam_step(
+                params, pgrads, state.opt, lrs, eps=cfg.adam_eps
+            )
+            new_state = TrainState(
+                splats=splats.with_params(new_params),
+                opt=opt,
+                grad_2d_accum=grad_accum,
+                xy_grad_counts=counts,
+            )
+            return new_state, StepStats(
+                loss=loss, num_visible=aux.num_visible, num_isects=aux.num_isects
+            )
+
+        return jax.jit(step_fn)
+
+    # ------------------------------------------------------------------ #
+
+    def _refine(self, state: TrainState, pre_splats: Splats):
+        cfg = self.config
+        cap = state.splats.capacity
+        self._key, sub = jax.random.split(self._key)
+        refine_idx = self.iter // cfg.refine_every
+        do_reset = (refine_idx % cfg.reset_alpha_every_refine) == 0
+
+        refine_fn = self._get_refine_fn(cap, state.splats.sh_count, bool(do_reset))
+        state, stats = refine_fn(state, pre_splats, sub)
+
+        n_live = int(stats.n_live)
+        # Grow capacity when refinement could overflow next time.
+        if 2 * n_live > cap:
+            state = self._grow(state, max(2 * n_live, cap * 2))
+        return state, stats
+
+    def _grow(self, state: TrainState, new_cap: int) -> TrainState:
+        from brush_tpu.splats import round_up_capacity
+
+        new_cap = round_up_capacity(new_cap)
+        cap = state.splats.capacity
+        pad = new_cap - cap
+        if pad <= 0:
+            return state
+
+        def pad_arr(x, fill=0.0):
+            pads = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pads, constant_values=fill)
+
+        sp = state.splats
+        splats = Splats(
+            means=pad_arr(sp.means),
+            sh_coeffs=pad_arr(sp.sh_coeffs),
+            quats=pad_arr(sp.quats).at[cap:, 0].set(1.0),
+            raw_opacity=pad_arr(sp.raw_opacity, PADDING_RAW_OPACITY),
+            log_scales=pad_arr(sp.log_scales, -10.0),
+            n_live=sp.n_live,
+        )
+        opt = AdamState(
+            m={k: pad_arr(v) for k, v in state.opt.m.items()},
+            v={k: pad_arr(v) for k, v in state.opt.v.items()},
+            count=state.opt.count,
+        )
+        return TrainState(
+            splats=splats,
+            opt=opt,
+            grad_2d_accum=pad_arr(state.grad_2d_accum),
+            xy_grad_counts=pad_arr(state.xy_grad_counts).astype(jnp.int32),
+        )
+
+    @functools.lru_cache(maxsize=16)
+    def _get_refine_fn(self, capacity: int, sh_count: int, do_reset: bool):
+        cfg = self.config
+
+        def refine_fn(state: TrainState, pre: Splats, key):
+            post = state.splats
+            alive = post.active_mask()
+
+            counts = jnp.maximum(state.xy_grad_counts, 1).astype(jnp.float32)
+            grads_avg = state.grad_2d_accum / counts
+            big = grads_avg >= cfg.densify_grad_thresh
+
+            scales_post = post.scales()
+            max_scale = jnp.max(scales_post, axis=1)
+            small = max_scale < cfg.densify_size_thresh
+
+            clone_mask = small & big & alive
+            split_mask = (~small) & big & alive
+            append_mask = clone_mask | split_mask
+
+            # Split offset samples (train.rs:494-516): Normal(0, 0.5) in the
+            # splat frame scaled by the post-step scale, rotated by the
+            # post-step quaternion.
+            noise = 0.5 * jax.random.normal(key, (capacity, 3)) * scales_post
+            offset = quat_rotate(post.quats, noise)
+            split_log_scales = jnp.log(jnp.maximum(scales_post / 1.6, 1e-30))
+
+            cm = clone_mask[:, None]
+            app_means = jnp.where(cm, pre.means, pre.means + offset)
+            app_quats = jnp.where(cm, pre.quats, post.quats)
+            app_sh = jnp.where(clone_mask[:, None, None], pre.sh_coeffs, post.sh_coeffs)
+            app_opac = jnp.where(clone_mask, pre.raw_opacity, post.raw_opacity)
+            app_logs = jnp.where(cm, pre.log_scales, split_log_scales)
+
+            if cfg.faithful_split_bug:
+                # The reference's in-place split modifications target clones
+                # that are then discarded (train.rs:482-520) — originals
+                # keep their post-step mean and scale.
+                orig_means = post.means
+                orig_logs = post.log_scales
+            else:
+                sm = split_mask[:, None]
+                noise2 = 0.5 * jax.random.normal(
+                    jax.random.fold_in(key, 1), (capacity, 3)
+                ) * scales_post
+                offset2 = quat_rotate(post.quats, noise2)
+                orig_means = jnp.where(sm, pre.means - offset2, post.means)
+                orig_logs = jnp.where(sm, split_log_scales, post.log_scales)
+
+            # Combined candidate set: C originals then C append slots.
+            comb = {
+                "means": jnp.concatenate([orig_means, app_means]),
+                "quats": jnp.concatenate([post.quats, app_quats]),
+                "sh_coeffs": jnp.concatenate([post.sh_coeffs, app_sh]),
+                "raw_opacity": jnp.concatenate([post.raw_opacity, app_opac]),
+                "log_scales": jnp.concatenate([orig_logs, app_logs]),
+            }
+            valid = jnp.concatenate([alive, append_mask])
+
+            # Prune (train.rs:543-557) on the combined set.
+            opac_all = jax.nn.sigmoid(comb["raw_opacity"])
+            scale_all = jnp.max(jnp.exp(comb["log_scales"]), axis=1)
+            prune_alpha = opac_all < cfg.cull_alpha_thresh
+            prune_scale = scale_all > cfg.cull_scale_thresh
+            keep = valid & ~prune_alpha & ~prune_scale
+
+            # Stable compaction: kept rows first, original order preserved.
+            perm = jnp.argsort(~keep, stable=True)[:capacity]
+            n_live = jnp.sum(keep).astype(jnp.int32)
+            n_live = jnp.minimum(n_live, capacity)
+            row_live = jnp.arange(capacity) < n_live
+
+            def take(x, fill=0.0):
+                out = x[perm]
+                shape = (-1,) + (1,) * (out.ndim - 1)
+                return jnp.where(row_live.reshape(shape), out, fill)
+
+            new_opac = take(comb["raw_opacity"], PADDING_RAW_OPACITY)
+            if do_reset:
+                # Opacity reset (train.rs:205-209,559-562).
+                new_opac = jnp.where(
+                    row_live,
+                    inverse_sigmoid(cfg.reset_alpha_value),
+                    new_opac,
+                )
+
+            new_quats = take(comb["quats"])
+            new_quats = new_quats.at[:, 0].set(
+                jnp.where(row_live, new_quats[:, 0], 1.0)
+            )
+            splats = Splats(
+                means=take(comb["means"]),
+                sh_coeffs=take(comb["sh_coeffs"]),
+                quats=new_quats,
+                raw_opacity=new_opac,
+                log_scales=take(comb["log_scales"], -10.0),
+                n_live=n_live,
+            )
+
+            # Optimizer state surgery: appended rows (perm >= C) start with
+            # zero moments; survivors keep theirs.
+            if cfg.keep_opt_state_on_refine:
+                is_new = (perm >= capacity) | ~row_live
+
+                def fix(x):
+                    padded = jnp.concatenate([x, jnp.zeros_like(x)])[perm]
+                    shape = (-1,) + (1,) * (x.ndim - 1)
+                    return jnp.where(is_new.reshape(shape), 0.0, padded)
+
+                opt = AdamState(
+                    m={k: fix(v) for k, v in state.opt.m.items()},
+                    v={k: fix(v) for k, v in state.opt.v.items()},
+                    count=state.opt.count,
+                )
+            else:
+                opt = init_adam(splats.params())
+
+            stats = RefineStats(
+                num_cloned=jnp.sum(clone_mask),
+                num_split=jnp.sum(split_mask),
+                num_pruned_alpha=jnp.sum(valid & prune_alpha),
+                num_pruned_scale=jnp.sum(valid & ~prune_alpha & prune_scale),
+                n_live=n_live,
+            )
+            new_state = TrainState(
+                splats=splats,
+                opt=opt,
+                grad_2d_accum=jnp.zeros((capacity,), jnp.float32),
+                xy_grad_counts=jnp.zeros((capacity,), jnp.int32),
+            )
+            return new_state, stats
+
+        return jax.jit(refine_fn)
