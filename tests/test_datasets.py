@@ -1,0 +1,261 @@
+"""Dataset layer tests with synthetic in-memory fixtures."""
+
+import io
+import json
+import struct
+import zipfile
+
+import numpy as np
+import pytest
+
+from brush_tpu.camera import Camera, fov_to_focal, quat_to_rotmat, rotmat_to_quat
+from brush_tpu.datasets import load_dataset, load_initial_splats
+from brush_tpu.datasets.loading import FileSource, LoadDatasetArgs
+from brush_tpu.datasets.ply import load_splats_from_ply, splats_to_ply
+from brush_tpu.datasets.scene import Scene
+from brush_tpu.splats import from_random
+
+
+def png_bytes(arr):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def make_nerf_zip(num_frames=4, size=16, with_val=True):
+    frames = []
+    rng = np.random.default_rng(0)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i in range(num_frames):
+            theta = 2 * np.pi * i / num_frames
+            c2w = np.eye(4)
+            c2w[:3, 3] = [4 * np.cos(theta), 4 * np.sin(theta), 1.0]
+            frames.append(
+                {"file_path": f"./train/r_{i}", "transform_matrix": c2w.tolist()}
+            )
+            img = rng.integers(0, 255, size=(size, size, 4), dtype=np.uint8)
+            zf.writestr(f"lego/train/r_{i}.png", png_bytes(img))
+        zf.writestr(
+            "lego/transforms_train.json",
+            json.dumps({"camera_angle_x": 0.7, "frames": frames}),
+        )
+        if with_val:
+            zf.writestr(
+                "lego/transforms_val.json",
+                json.dumps({"camera_angle_x": 0.7, "frames": frames[:1]}),
+            )
+            zf.writestr(f"lego/train/r_0.png.unused", b"")
+    return buf.getvalue()
+
+
+def make_colmap_zip(binary=True, num_images=3, size=16, prefix="scene/"):
+    rng = np.random.default_rng(1)
+    buf = io.BytesIO()
+
+    # One PINHOLE camera.
+    w = h = size
+    fx, fy, cx, cy = 20.0, 22.0, size / 2 + 1, size / 2 - 1
+
+    if binary:
+        cams = struct.pack("<Q", 1)
+        cams += struct.pack("<iiQQ", 1, 1, w, h)
+        cams += struct.pack("<4d", fx, fy, cx, cy)
+
+        imgs = struct.pack("<Q", num_images)
+        for i in range(num_images):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            t = rng.normal(size=3)
+            imgs += struct.pack("<i", i + 1)
+            imgs += struct.pack("<4d", *q)
+            imgs += struct.pack("<3d", *t)
+            imgs += struct.pack("<i", 1)
+            imgs += f"img_{i}.png".encode() + b"\x00"
+            imgs += struct.pack("<Q", 1)  # one 2d point
+            imgs += struct.pack("<ddq", 1.0, 2.0, -1)
+
+        pts = struct.pack("<Q", 5)
+        for i in range(5):
+            pts += struct.pack("<q", i)
+            pts += struct.pack("<3d", *rng.normal(size=3))
+            pts += struct.pack("<3B", 10 * i, 20, 30)
+            pts += struct.pack("<d", 0.5)
+            pts += struct.pack("<Q", 1)
+            pts += struct.pack("<ii", 1, 0)
+        ext = "bin"
+        cam_data, img_data, pt_data = cams, imgs, pts
+    else:
+        cam_data = f"# comment\n1 PINHOLE {w} {h} {fx} {fy} {cx} {cy}\n".encode()
+        img_lines = ["# images"]
+        for i in range(num_images):
+            q = rng.normal(size=4)
+            q /= np.linalg.norm(q)
+            t = rng.normal(size=3)
+            img_lines.append(
+                f"{i+1} {q[0]} {q[1]} {q[2]} {q[3]} {t[0]} {t[1]} {t[2]} 1 img_{i}.png"
+            )
+            img_lines.append("1.0 2.0 -1")
+        img_data = "\n".join(img_lines).encode()
+        pt_lines = ["# points"]
+        for i in range(5):
+            p = rng.normal(size=3)
+            pt_lines.append(
+                f"{i} {p[0]} {p[1]} {p[2]} {10*i} 20 30 0.5 1 0"
+            )
+        pt_data = "\n".join(pt_lines).encode()
+        ext = "txt"
+
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(f"{prefix}sparse/0/cameras.{ext}", cam_data)
+        zf.writestr(f"{prefix}sparse/0/images.{ext}", img_data)
+        zf.writestr(f"{prefix}sparse/0/points3D.{ext}", pt_data)
+        for i in range(num_images):
+            img = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+            zf.writestr(f"{prefix}images/img_{i}.png", png_bytes(img))
+    return buf.getvalue()
+
+
+def test_nerf_synthetic_loading():
+    data = make_nerf_zip(num_frames=4, with_val=True)
+    ds = load_dataset(data, LoadDatasetArgs(eval_split_every=2))
+    # i=0 and i=2 go to eval (val exists), plus 1 val view appended.
+    assert len(ds.train.views) == 2
+    assert len(ds.eval.views) == 3
+    view = ds.train.views[0]
+    assert view.image.shape == (16, 16, 4)  # PNG with alpha
+    assert view.camera.fov_x == pytest.approx(0.7)
+
+
+def test_nerf_no_val_means_no_eval_split():
+    data = make_nerf_zip(num_frames=4, with_val=False)
+    ds = load_dataset(data, LoadDatasetArgs(eval_split_every=2))
+    # Reference keeps all views in train when no val transforms exist
+    # (nerf_synthetic.rs:118-126).
+    assert len(ds.train.views) == 4
+    assert ds.eval is None
+
+
+def test_nerf_camera_basis():
+    # Identity c2w: after the basis swap the camera must look along -y world
+    # ... the important invariant: points in front of the camera (z<0 in
+    # OpenGL convention) have positive view-space depth.
+    data = make_nerf_zip(num_frames=1)
+    ds = load_dataset(data, LoadDatasetArgs())
+    cam = ds.train.views[0].camera
+    vm = cam.world_to_local()
+    # The NeRF camera at [4, 0, 1] looks along -z (OpenGL). The world point
+    # it should see: its own position + viewing direction. After conversion,
+    # that point must land at positive z in view space.
+    c2w = np.eye(4)
+    c2w[:3, 3] = [4, 0, 1]
+    look_target_gl = c2w[:3, 3] + c2w[:3, :3] @ [0, 0, -1.0]
+    # Transform world points through the same basis change used in nerf.py.
+    rot_x = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0.0]])
+    target_world = rot_x @ look_target_gl
+    p_view = vm[:3, :3] @ target_world + vm[:3, 3]
+    assert p_view[2] > 0.99
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_colmap_loading(binary):
+    data = make_colmap_zip(binary=binary)
+    ds = load_dataset(data, LoadDatasetArgs(eval_split_every=3))
+    assert len(ds.train.views) == 2
+    assert len(ds.eval.views) == 1
+    cam = ds.train.views[0].camera
+    # fov from the PINHOLE params.
+    assert fov_to_focal(cam.fov_x, 16) == pytest.approx(20.0)
+    assert fov_to_focal(cam.fov_y, 16) == pytest.approx(22.0)
+    np.testing.assert_allclose(cam.center_uv, [(9.0) / 16, (7.0) / 16])
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_colmap_pose_roundtrip(binary):
+    # The Camera must invert the stored world-to-cam transform exactly.
+    data = make_colmap_zip(binary=binary, num_images=1)
+    src = FileSource(data)
+    from brush_tpu.datasets.colmap import read_cameras, read_images
+    from brush_tpu.datasets.loading import _join, _find_colmap
+
+    is_bin, base = _find_colmap(src)
+    ext = "bin" if is_bin else "txt"
+    info = list(
+        read_images(src.read(_join(base, f"sparse/0/images.{ext}")), is_bin).values()
+    )[0]
+    ds = load_dataset(data, LoadDatasetArgs())
+    cam = ds.train.views[0].camera
+
+    r_wc = quat_to_rotmat(info.qvec / np.linalg.norm(info.qvec))
+    w2c = np.eye(4)
+    w2c[:3, :3] = r_wc
+    w2c[:3, 3] = info.tvec
+    np.testing.assert_allclose(cam.world_to_local(), w2c, atol=1e-6)
+
+
+def test_colmap_initial_points():
+    data = make_colmap_zip(binary=True)
+    splats = load_initial_splats(data, sh_degree=1)
+    assert int(splats.n_live) == 5
+    assert splats.sh_coeffs.shape[1] == 4
+
+
+def test_ply_roundtrip():
+    rng = np.random.default_rng(3)
+    splats = from_random(rng, [-1, -1, -1], [1, 1, 1], count=37, sh_degree=2)
+    data = splats_to_ply(splats)
+    loaded = load_splats_from_ply(data)
+    assert int(loaded.n_live) == 37
+    n = 37
+    np.testing.assert_allclose(
+        np.asarray(loaded.means[:n]), np.asarray(splats.means[:n]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.sh_coeffs[:n]), np.asarray(splats.sh_coeffs[:n]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.log_scales[:n]), np.asarray(splats.log_scales[:n]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.raw_opacity[:n]), np.asarray(splats.raw_opacity[:n]), atol=1e-6
+    )
+
+
+def test_init_ply_takes_precedence():
+    rng = np.random.default_rng(4)
+    splats = from_random(rng, [-1, -1, -1], [1, 1, 1], count=7, sh_degree=0)
+    base = make_colmap_zip(binary=True)
+    buf = io.BytesIO(base)
+    with zipfile.ZipFile(buf, "a") as zf:
+        zf.writestr("init.ply", splats_to_ply(splats))
+    loaded = load_initial_splats(buf.getvalue(), sh_degree=0)
+    assert int(loaded.n_live) == 7
+
+
+def test_scene_loader():
+    from brush_tpu.datasets.loader import SceneLoader
+
+    data = make_nerf_zip(num_frames=3)
+    ds = load_dataset(data, LoadDatasetArgs())
+    loader = SceneLoader(ds.train, seed=0)
+    batches = [loader.next_batch() for _ in range(8)]
+    loader.close()
+    assert all(b.gt_image.shape == (16, 16, 4) for b in batches)
+    assert batches[0].scene_extent > 0
+
+
+def test_scene_bounds():
+    data = make_nerf_zip(num_frames=4)
+    ds = load_dataset(data, LoadDatasetArgs())
+    center, extent = ds.train.bounds(0.0, 0.0)
+    assert np.all(extent >= 0)
+    assert ds.train.extent_max() == pytest.approx(np.max(extent))
+
+
+def test_max_frames_and_resolution():
+    data = make_nerf_zip(num_frames=4, size=32)
+    ds = load_dataset(data, LoadDatasetArgs(max_frames=2, max_resolution=16))
+    assert len(ds.train.views) == 2
+    assert ds.train.views[0].image.shape[0] == 16
