@@ -37,11 +37,10 @@ from brush_tpu.constants import (
 LOG_T_EPS = math.log(TRANSMITTANCE_EPS)
 
 
-def tile_pixel_coords(tiles_x: int, tiles_y: int) -> jnp.ndarray:
-    """(T, TILE_SIZE, 2) pixel-center coordinates for every tile."""
-    t = jnp.arange(tiles_x * tiles_y)
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
+def tile_pixel_coords(tile_ids: jnp.ndarray, tiles_x: int) -> jnp.ndarray:
+    """(T, TILE_SIZE, 2) pixel-center coordinates for the given tile ids."""
+    tx = (tile_ids % tiles_x).astype(jnp.float32)
+    ty = (tile_ids // tiles_x).astype(jnp.float32)
     k = jnp.arange(TILE_SIZE)
     px = (k % TILE_WIDTH).astype(jnp.float32)
     py = (k // TILE_WIDTH).astype(jnp.float32)
@@ -65,20 +64,19 @@ def _block_alpha(pix, bxy, bconic, bopac, lane_mask):
 
 
 @functools.lru_cache(maxsize=32)
-def make_rasterizer(tiles_x: int, tiles_y: int, max_isects: int, block_size: int):
-    """Build the custom-VJP tiled rasterizer for a static image/pool size.
+def make_rasterizer(tiles_x: int, num_tiles: int, max_isects: int, block_size: int):
+    """Build the custom-VJP tiled rasterizer for a static tile-count/pool size.
 
-    Returns raster(xy, conic, color, opac, isect_gid, tile_bins) -> (T, P, 4)
-    where inputs are per-compact-splat tensors and integer index workspaces
-    from ops/binning.py.
+    Returns raster(xy, conic, color, opac, isect_gid, starts, ends, tile_ids)
+    -> (num_tiles, TILE_SIZE, 4) where inputs are per-compact-splat tensors
+    and integer index workspaces from ops/binning.py. `tile_ids` selects
+    which image tiles this call rasterizes (all of them single-device; a
+    contiguous slice per device when tiles are sharded over a mesh).
     """
-    num_tiles = tiles_x * tiles_y
     k_lanes = block_size
 
-    def _forward(xy, conic, color, opac, isect_gid, tile_bins):
-        pix = tile_pixel_coords(tiles_x, tiles_y)
-        starts = tile_bins[:-1]
-        ends = tile_bins[1:]
+    def _forward(xy, conic, color, opac, isect_gid, starts, ends, tile_ids):
+        pix = tile_pixel_coords(tile_ids, tiles_x)
         max_len = jnp.max(ends - starts)
 
         lanes = jnp.arange(k_lanes, dtype=jnp.int32)
@@ -127,24 +125,26 @@ def make_rasterizer(tiles_x: int, tiles_y: int, max_isects: int, block_size: int
         return img, log_t, final_idx
 
     @jax.custom_vjp
-    def raster(xy, conic, color, opac, isect_gid, tile_bins):
-        img, _, _ = _forward(xy, conic, color, opac, isect_gid, tile_bins)
+    def raster(xy, conic, color, opac, isect_gid, starts, ends, tile_ids):
+        img, _, _ = _forward(xy, conic, color, opac, isect_gid, starts, ends, tile_ids)
         return img
 
-    def raster_fwd(xy, conic, color, opac, isect_gid, tile_bins):
-        img, log_t, final_idx = _forward(xy, conic, color, opac, isect_gid, tile_bins)
-        res = (xy, conic, color, opac, isect_gid, tile_bins, log_t, final_idx)
+    def raster_fwd(xy, conic, color, opac, isect_gid, starts, ends, tile_ids):
+        img, log_t, final_idx = _forward(
+            xy, conic, color, opac, isect_gid, starts, ends, tile_ids
+        )
+        res = (xy, conic, color, opac, isect_gid, starts, ends, tile_ids,
+               log_t, final_idx)
         return img, res
 
     def raster_bwd(res, g):
-        xy, conic, color, opac, isect_gid, tile_bins, log_t_final, final_idx = res
+        (xy, conic, color, opac, isect_gid, starts, ends, tile_ids,
+         log_t_final, final_idx) = res
         v_rgb = g[..., :3]
         v_a = g[..., 3]
         t_final = jnp.exp(log_t_final)
 
-        pix = tile_pixel_coords(tiles_x, tiles_y)
-        starts = tile_bins[:-1]
-        ends = tile_bins[1:]
+        pix = tile_pixel_coords(tile_ids, tiles_x)
         max_len = jnp.max(ends - starts)
         n_rounds = jnp.ceil(max_len / k_lanes).astype(jnp.int32)
         lanes = jnp.arange(k_lanes, dtype=jnp.int32)
@@ -238,7 +238,7 @@ def make_rasterizer(tiles_x: int, tiles_y: int, max_isects: int, block_size: int
         _, _, _, v_xy, v_conic, v_color, v_opac = jax.lax.while_loop(
             cond, body, init
         )
-        return (v_xy, v_conic, v_color, v_opac, None, None)
+        return (v_xy, v_conic, v_color, v_opac, None, None, None, None)
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster

@@ -111,10 +111,12 @@ def render_splats(
 
     # Differentiable gathers into depth-compact order: cotangents scatter
     # back to global splat indices automatically.
-    raster = make_rasterizer(tiles_x, tiles_y, max_isects, block_size)
+    num_tiles = tiles_x * tiles_y
+    raster = make_rasterizer(tiles_x, num_tiles, max_isects, block_size)
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles = raster(
         xy[order], proj.conic[order], color[order], opac[order],
-        isect.isect_gid, isect.tile_bins,
+        isect.isect_gid, isect.tile_bins[:-1], isect.tile_bins[1:], tile_ids,
     )
     img = assemble_image(img_tiles, img_size, tiles_x, tiles_y)
 

@@ -1,0 +1,90 @@
+"""Sharded train step on a virtual 8-device CPU mesh vs the single-device
+trainer — the multi-chip parity gate (BASELINE.md: PSNR parity with 1-chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brush_tpu.camera import Camera
+from brush_tpu.config import TrainConfig
+from brush_tpu.ops.rasterize_reference import camera_params
+from brush_tpu.parallel import make_mesh, make_sharded_train_step
+from brush_tpu.parallel.sharding import shard_state
+from brush_tpu.splats import from_random
+from brush_tpu.train import SceneBatch, SplatTrainer
+
+
+def test_sharded_step_matches_single_device():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"expected 8 virtual devices, got {n_dev}"
+    mesh = make_mesh()
+
+    rng = np.random.default_rng(0)
+    splats = from_random(rng, [-2, -2, -2], [2, 2, 2], count=50, sh_degree=1)
+    config = TrainConfig(warmup_steps=0)
+    img_size = (32, 32)
+    gt = rng.uniform(0, 1, size=(32, 32, 3)).astype(np.float32)
+    cam = Camera(position=[0, 0, -6], rotation=[1, 0, 0, 0], fov_x=1.0, fov_y=1.0)
+    cp = camera_params(cam, img_size)
+
+    # Single-device trainer step.
+    trainer = SplatTrainer(config, raster_block_size=16)
+    state_1 = trainer.init_state(splats)
+    batch = SceneBatch(gt_image=gt, camera=cam, scene_extent=1.0)
+    state_1, stats_1 = trainer.step(state_1, batch)
+
+    # Sharded step.
+    step_fn = make_sharded_train_step(
+        mesh, config, splats.capacity, img_size, 3, splats.sh_coeffs.shape[1],
+        block_size=16,
+    )
+    trainer2 = SplatTrainer(config)
+    state_8 = shard_state(trainer2.init_state(splats), mesh)
+    lr_mean = config.lr_mean_at(0)
+    state_8, stats_8 = step_fn(
+        state_8, jnp.asarray(gt), cp.viewmat, cp.focal, cp.pixel_center,
+        jnp.float32(lr_mean), jnp.int32(0),
+    )
+
+    assert abs(float(stats_1.loss) - float(stats_8.loss)) < 1e-5
+    assert int(stats_1.num_visible) == int(stats_8.num_visible)
+    assert int(stats_1.num_isects) == int(stats_8.num_isects)
+
+    for key in state_1.splats.params():
+        a = np.asarray(getattr(state_1.splats, key))
+        b = np.asarray(getattr(state_8.splats, key))
+        np.testing.assert_allclose(a, b, atol=5e-5, err_msg=f"param {key}")
+
+    np.testing.assert_allclose(
+        np.asarray(state_1.grad_2d_accum), np.asarray(state_8.grad_2d_accum),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_1.xy_grad_counts), np.asarray(state_8.xy_grad_counts)
+    )
+
+
+def test_sharded_step_multiple_iterations():
+    mesh = make_mesh()
+    rng = np.random.default_rng(1)
+    splats = from_random(rng, [-2, -2, -2], [2, 2, 2], count=30, sh_degree=0)
+    config = TrainConfig(warmup_steps=0)
+    img_size = (16, 16)
+    gt = rng.uniform(0, 1, size=(16, 16, 3)).astype(np.float32)
+    cam = Camera(position=[0, 0, -6], rotation=[1, 0, 0, 0], fov_x=1.0, fov_y=1.0)
+    cp = camera_params(cam, img_size)
+
+    step_fn = make_sharded_train_step(
+        mesh, config, splats.capacity, img_size, 3, 1, block_size=16
+    )
+    trainer = SplatTrainer(config)
+    state = shard_state(trainer.init_state(splats), mesh)
+    losses = []
+    for i in range(5):
+        state, stats = step_fn(
+            state, jnp.asarray(gt), cp.viewmat, cp.focal, cp.pixel_center,
+            jnp.float32(config.lr_mean_at(i)), jnp.int32(i),
+        )
+        losses.append(float(stats.loss))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
