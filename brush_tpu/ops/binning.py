@@ -96,7 +96,8 @@ class Intersections(NamedTuple):
 
     order: jnp.ndarray        # (N,) depth order: compact -> global splat id
     isect_gid: jnp.ndarray    # (MAX_ISECTS,) intersection -> compact splat id
-    tile_bins: jnp.ndarray    # (num_tiles + 1,) range boundaries per tile
+    starts: jnp.ndarray       # (num_tiles,) range start per tile
+    ends: jnp.ndarray         # (num_tiles,) range end per tile (exclusive)
     num_visible: jnp.ndarray  # () int32
     num_isects: jnp.ndarray   # () int32 (records surviving the exact test)
 
@@ -106,11 +107,17 @@ def build_intersections(
     opac: jnp.ndarray,
     tile_bounds: tuple[int, int],
     max_isects: int,
+    align: int = 1,
 ) -> Intersections:
     """Build depth-then-tile ordered intersection records.
 
     All inputs are in *global* (unsorted) splat order; outputs index the
     depth-compact order via `order`.
+
+    align > 1 pads each tile's range so starts are multiples of `align`
+    (padding slots carry an out-of-range splat id). The Pallas kernels need
+    this: HBM DMA windows must sit on lane-tiling boundaries, and aligned
+    disjoint per-tile regions also keep backward gradient writes race-free.
     """
     n = proj.xy.shape[0]
     tiles_x, tiles_y = tile_bounds
@@ -163,10 +170,38 @@ def build_intersections(
     tile_bins = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)
     num_isects = tile_bins[-1]
 
+    if align <= 1:
+        return Intersections(
+            order=order,
+            isect_gid=isect_gid,
+            starts=tile_bins[:-1],
+            ends=tile_bins[1:],
+            num_visible=num_visible,
+            num_isects=num_isects,
+        )
+
+    # --- aligned re-layout for the Pallas kernels ---
+    counts = tile_bins[1:] - tile_bins[:-1]
+    aligned_counts = -(-counts // align) * align
+    aligned_starts = jnp.cumsum(aligned_counts) - aligned_counts
+    starts = jnp.minimum(aligned_starts, max_isects).astype(jnp.int32)
+    ends = jnp.minimum(aligned_starts + counts, max_isects).astype(jnp.int32)
+
+    sorted_tile = jnp.clip(sorted_key, 0, num_tiles - 1)
+    rank = slot - tile_bins[:-1][sorted_tile]
+    new_pos = aligned_starts[sorted_tile] + rank
+    new_pos = jnp.where(sorted_key < num_tiles, new_pos, max_isects)
+    # Padding / overflow slots carry splat id n: scatter-adds in the
+    # backward drop them (out-of-range index).
+    gid_aligned = jnp.full((max_isects,), n, jnp.int32).at[new_pos].set(
+        isect_gid, mode="drop"
+    )
+
     return Intersections(
         order=order,
-        isect_gid=isect_gid,
-        tile_bins=tile_bins,
+        isect_gid=gid_aligned,
+        starts=starts,
+        ends=ends,
         num_visible=num_visible,
         num_isects=num_isects,
     )

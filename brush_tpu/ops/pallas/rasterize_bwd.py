@@ -1,0 +1,252 @@
+"""Pallas TPU backward rasterizer.
+
+Mirrors rasterize_backwards.wgsl: one grid step per tile, a single
+back-to-front sweep reconstructing transmittance by division
+(rasterize_backwards.wgsl:247-248) and the reference's v_alpha / v_sigma /
+v_xy / v_conic chain (:253-270). The reference's atomic gradient machinery
+(subgroup sums + workgroup queues + CAS loops, :32-135) is replaced by:
+
+- per-splat pixel reductions as two MXU matmuls: all required moments of
+  v_sigma over the pixel polynomial basis [1, px, py, px^2, py^2, px*py]
+  and of fac over [v_r, v_g, v_b] come from (8, 256) @ (256, K) products;
+- per-intersection gradient records DMA'd to an HBM pool, segment-summed to
+  per-splat gradients outside the kernel (XLA scatter-add — sorted-order,
+  race-free by construction since tile ranges are disjoint).
+
+Output writes are synchronous (start+wait per batch) so overlapping lane
+windows between adjacent tiles' ranges cannot race; the zero-masked lanes a
+tile writes beyond its own range are overwritten by the owning tile's later
+grid step.
+
+Uses the same tile-local coordinate frame and rank-6 sigma factorization as
+the forward kernel (see rasterize_fwd.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from brush_tpu.constants import ALPHA_EPS, ALPHA_MAX, TILE_SIZE, TILE_WIDTH
+from brush_tpu.ops.pallas.rasterize_fwd import (
+    PACK_ROWS,
+    _cumsum_lanes,
+    _pixel_basis,
+    _splat_basis,
+)
+
+GRAD_ROWS = 16  # v_xy(2), v_conic(3), v_color(3), v_opac(1), 7 pad
+
+
+def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
+    def kernel(starts_ref, ends_ref, tile_ids_ref,
+               packed_hbm, vout_ref, logt_ref, fidx_ref,
+               grads_hbm,
+               buf, gbuf, in_sem, out_sem):
+        t = pl.program_id(0)
+        start = pl.multiple_of(starts_ref[t], k_lanes)
+        end = ends_ref[t]
+        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x)
+        # Pixel moment basis W: (P, 8) = [1, px, py, px^2, py^2, px*py, 0, 0].
+        px = a_p[:, 3:4]
+        py = a_p[:, 4:5]
+        one = a_p[:, 5:6]
+        zero = jnp.zeros_like(one)
+        w_mom = jnp.concatenate(
+            [one, px, py, a_p[:, 0:1], a_p[:, 1:2], a_p[:, 2:3], zero, zero], axis=1
+        )
+
+        v_out = vout_ref[0]                  # (P, 4)
+        v_rgb = v_out[:, 0:3]                # (P, 3)
+        v_a = v_out[:, 3:4]                  # (P, 1)
+        log_t_final = logt_ref[0]            # (P, 1)
+        t_final = jnp.exp(log_t_final)
+        fidx = fidx_ref[0]                   # (P, 1) int32
+
+        num_batches = pl.cdiv(jnp.maximum(end - start, 0), k_lanes)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
+
+        def dma_in(slot, b):
+            off = start + b * k_lanes
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(off, k_lanes)],
+                buf.at[slot],
+                in_sem.at[slot],
+            )
+
+        @pl.when(num_batches > 0)
+        def _():
+            dma_in((num_batches - 1) % 2, num_batches - 1).start()
+
+        def body(carry):
+            b, log_t_end, s_behind = carry
+
+            @pl.when(b > 0)
+            def _():
+                dma_in((b - 1) % 2, b - 1).start()
+
+            dma_in(b % 2, b).wait()
+            blk = buf[b % 2]
+
+            off = start + b * k_lanes
+            isect_idx = off + lane_idx
+            lane_ok = isect_idx < end
+
+            b_s = _splat_basis(blk, cx_t, cy_t)
+            sigma = jnp.dot(a_p, b_s, preferred_element_type=jnp.float32)
+            vis = jnp.exp(-sigma)
+            opac = blk[8:9]
+            alpha = jnp.minimum(ALPHA_MAX, opac * vis)
+            ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok
+            alpha = jnp.where(ok, alpha, 0.0)
+
+            # Same contributing set as forward (isect <= final_index).
+            act = (isect_idx <= fidx) & (alpha > 0.0)
+            actf = jnp.where(act, 1.0, 0.0)
+            m = jnp.log1p(-alpha) * actf
+            m_inc = _cumsum_lanes(m, k_lanes)
+            m_tot = m_inc[:, k_lanes - 1 : k_lanes]
+            log_t_after = log_t_end - (m_tot - m_inc)
+            t_before = jnp.exp(log_t_after - m)
+            fac = alpha * t_before * actf
+
+            # cw = color . v_rgb per (pixel, splat).
+            cw = (
+                v_rgb[:, 0:1] * blk[5:6]
+                + v_rgb[:, 1:2] * blk[6:7]
+                + v_rgb[:, 2:3] * blk[7:8]
+            )
+            contrib = cw * fac
+            c_inc = _cumsum_lanes(contrib, k_lanes)
+            c_tot = c_inc[:, k_lanes - 1 : k_lanes]
+            buffer_excl = s_behind + (c_tot - c_inc)
+
+            ra = 1.0 / (1.0 - alpha)
+            v_alpha = actf * (
+                cw * t_before - buffer_excl * ra + t_final * ra * v_a
+            )
+            v_sigma = -opac * vis * v_alpha     # (P, K)
+
+            # Moments of v_sigma over [1, px, py, px^2, py^2, px*py] — one
+            # MXU product gives every pixel reduction the grads need.
+            mom = jnp.dot(
+                w_mom.T, v_sigma, preferred_element_type=jnp.float32
+            )  # (8, K): [S0, Sx, Sy, Sxx, Syy, Sxy, 0, 0]
+            s0 = mom[0:1]
+            sx = mom[1:2]
+            sy = mom[2:3]
+            sxx = mom[3:4]
+            syy = mom[4:5]
+            sxy = mom[5:6]
+
+            x = blk[0:1] - cx_t
+            y = blk[1:2] - cy_t
+            cxx = blk[2:3]
+            cyy = blk[3:4]
+            czz = blk[4:5]
+
+            # delta = xy - pixel: sum_p v_sigma * dx = x*S0 - Sx, etc.
+            sdx = x * s0 - sx
+            sdy = y * s0 - sy
+            sdxdx = x * x * s0 - 2.0 * x * sx + sxx
+            sdydy = y * y * s0 - 2.0 * y * sy + syy
+            sdxdy = x * y * s0 - x * sy - y * sx + sxy
+
+            g_xy_x = cxx * sdx + cyy * sdy
+            g_xy_y = cyy * sdx + czz * sdy
+            g_con_a = 0.5 * sdxdx
+            g_con_b = sdxdy
+            g_con_c = 0.5 * sdydy
+
+            # Moments of fac over [v_r, v_g, v_b] and the opacity-path term.
+            w_col = jnp.concatenate(
+                [v_rgb, jnp.zeros((TILE_SIZE, 8 - 3), jnp.float32)], axis=1
+            )
+            colm = jnp.dot(w_col.T, fac, preferred_element_type=jnp.float32)
+            g_col_r = colm[0:1]
+            g_col_g = colm[1:2]
+            g_col_b = colm[2:3]
+            g_opac = jnp.sum(vis * v_alpha * actf, axis=0, keepdims=True)
+
+            pad = jnp.zeros((GRAD_ROWS - 9, k_lanes), jnp.float32)
+            gbuf[:, :] = jnp.concatenate(
+                [g_xy_x, g_xy_y, g_con_a, g_con_b, g_con_c,
+                 g_col_r, g_col_g, g_col_b, g_opac, pad],
+                axis=0,
+            )
+            out_dma = pltpu.make_async_copy(
+                gbuf, grads_hbm.at[:, pl.ds(off, k_lanes)], out_sem
+            )
+            out_dma.start()
+            out_dma.wait()
+
+            return (b - 1, log_t_end - m_tot, s_behind + c_tot)
+
+        def cond(carry):
+            return carry[0] >= 0
+
+        p = TILE_SIZE
+        init = (
+            num_batches - 1,
+            log_t_final,
+            jnp.zeros((p, 1), jnp.float32),
+        )
+        jax.lax.while_loop(cond, body, init)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes", "interpret"),
+)
+def rasterize_bwd_pallas(
+    packed, v_out_tiles, log_t, fidx, starts, ends, tile_ids,
+    tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
+    interpret: bool = False,
+):
+    """Per-intersection gradients (GRAD_ROWS, MAX_ISECTS + K).
+
+    Rows: v_xy(2), v_conic(3), v_color(3), v_opac(1). Slots outside all tile
+    ranges are unwritten garbage — mask by slot < num_isects before use.
+    """
+    assert max_isects % k_lanes == 0
+    assert packed.shape[1] == max_isects + k_lanes
+    kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, k_lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    (grads,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((GRAD_ROWS, max_isects + k_lanes), jnp.float32)
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        starts, ends, tile_ids,
+        packed, v_out_tiles, log_t[..., None], fidx[..., None],
+    )
+    return grads

@@ -1,0 +1,280 @@
+"""Pallas TPU forward rasterizer.
+
+One grid step per image tile (the reference launches one workgroup per tile,
+rasterize.wgsl:20-26). Differences born from the hardware:
+
+- The per-pixel scalar loop over splats becomes dense (P=256 pixels x
+  K splats) vector blocks; transmittance is a log-space prefix scan along
+  the splat (lane) axis (see ops/compositing.py for the derivation).
+- The gaussian quadratic form is evaluated on the MXU via a rank-6
+  factorization: sigma[p,s] = A(p) @ B(s) with
+    A(p) = [px^2, py^2, px*py, px, py, 1]
+    B(s) = [cx/2, cz/2, cy, -(cx*x + cy*y), -(cy*x + cz*y),
+            (cx*x^2 + cz*y^2)/2 + cy*x*y]
+  instead of ~10 VPU ops per (pixel, splat) pair.
+- Splat data arrives pre-gathered into intersection order as a packed
+  (16, MAX_ISECTS) array (rows: x, y, cx, cy, cz, r, g, b, opac), so every
+  batch is one contiguous (16, K) DMA instead of a random gather — the
+  shared-memory staging of rasterize.wgsl:57-71 becomes double-buffered
+  HBM->VMEM copies.
+- The transmittance early-out (rasterize.wgsl:88) becomes a per-tile batch
+  loop that stops when every pixel's T is below threshold.
+
+Outputs per tile: RGBA (packed as rows), log T, and the final contributing
+intersection index per pixel (rasterize.wgsl:112 final_index) for the
+backward kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from brush_tpu.constants import ALPHA_EPS, ALPHA_MAX, TILE_SIZE, TILE_WIDTH, TRANSMITTANCE_EPS
+
+LOG_T_EPS = math.log(TRANSMITTANCE_EPS)
+PACK_ROWS = 16  # x, y, cx, cy, cz, r, g, b, opac, 7 padding rows
+
+
+def pack_isect_splats(xy, conic, color, opac, isect_gid, max_isects: int,
+                      k_lanes: int = 512):
+    """Gather per-splat data into intersection order, packed
+    (16, MAX_ISECTS + K).
+
+    One XLA gather outside the kernel so in-kernel loads are contiguous. The
+    extra K lanes let a batch window that starts near the pool end read (and
+    in backward, write) a full K without bounds clamping — clamping would
+    make adjacent tiles' write windows overlap.
+    """
+    rows = jnp.stack(
+        [
+            xy[:, 0], xy[:, 1],
+            conic[:, 0], conic[:, 1], conic[:, 2],
+            color[:, 0], color[:, 1], color[:, 2],
+            opac,
+        ],
+        axis=0,
+    )  # (9, N)
+    packed = rows[:, isect_gid]  # (9, MAX_ISECTS)
+    return jnp.pad(packed, ((0, PACK_ROWS - 9), (0, k_lanes)))
+
+
+
+def _cumsum_lanes(x, k_lanes: int):
+    """Inclusive prefix sum along the lane axis.
+
+    Pallas TPU has no cumsum lowering; this is the standard log-step scan:
+    log2(K) shifted adds, shifting along lanes with zero fill via roll+mask.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    shift = 1
+    while shift < k_lanes:
+        rolled = pltpu.roll(x, shift, axis=x.ndim - 1)
+        x = x + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def _pixel_basis(tile_ids_ref, t, tiles_x: int):
+    """A(p): (TILE_SIZE, 8) pixel polynomial basis, in tile-local coords.
+
+    Coordinates are relative to the tile center: |px|,|py| <= 8. Keeping the
+    basis small bounds the cancellation error of the expanded quadratic form
+    (absolute pixel coords would put px^2 ~ 1e6 against sigma ~ 1 in f32).
+    The splat basis is shifted into the same frame per batch.
+    Returns (A, center_x, center_y).
+    """
+    tid = tile_ids_ref[t]
+    tx = (tid % tiles_x).astype(jnp.float32)
+    ty = (tid // tiles_x).astype(jnp.float32)
+    half = TILE_WIDTH / 2.0
+    cx_t = tx * TILE_WIDTH + half
+    cy_t = ty * TILE_WIDTH + half
+    k = jax.lax.broadcasted_iota(jnp.int32, (TILE_SIZE, 1), 0)
+    px = (k % TILE_WIDTH).astype(jnp.float32) + 0.5 - half
+    py = (k // TILE_WIDTH).astype(jnp.float32) + 0.5 - half
+    one = jnp.ones_like(px)
+    # (P, 8): [px^2, py^2, px*py, px, py, 1, 0, 0]
+    a = jnp.concatenate(
+        [px * px, py * py, px * py, px, py, one, 0.0 * one, 0.0 * one], axis=1
+    )
+    return a, cx_t, cy_t
+
+
+def _splat_basis(blk, center_x, center_y):
+    """B(s): (8, K) splat quadratic coefficients from a packed (16, K) block.
+
+    Splat centers are shifted into the tile-local frame (see _pixel_basis).
+    """
+    x = blk[0:1] - center_x
+    y = blk[1:2] - center_y
+    cx = blk[2:3]
+    cy = blk[3:4]
+    cz = blk[4:5]
+    b0 = 0.5 * cx
+    b1 = 0.5 * cz
+    b2 = cy
+    b3 = -(cx * x + cy * y)
+    b4 = -(cy * x + cz * y)
+    b5 = 0.5 * (cx * x * x + cz * y * y) + cy * x * y
+    zero = jnp.zeros_like(b0)
+    return jnp.concatenate([b0, b1, b2, b3, b4, b5, zero, zero], axis=0)
+
+
+def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
+    n_buf = 2
+
+    def kernel(starts_ref, ends_ref, tile_ids_ref, packed_hbm,
+               img_ref, logt_ref, fidx_ref,
+               buf, sem):
+        t = pl.program_id(0)
+        # Tile ranges are align=k_lanes aligned (ops/binning.py) — required
+        # so HBM DMA windows sit on lane-tiling boundaries.
+        start = pl.multiple_of(starts_ref[t], k_lanes)
+        end = ends_ref[t]
+        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x)
+
+        num_batches = pl.cdiv(jnp.maximum(end - start, 0), k_lanes)
+        lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
+
+        def dma(slot, b):
+            off = start + b * k_lanes
+            return pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(off, k_lanes)],
+                buf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(num_batches > 0)
+        def _():
+            dma(0, 0).start()
+
+        def body(carry):
+            b, log_t, rgb_r, rgb_g, rgb_b, fidx = carry
+
+            @pl.when(b + 1 < num_batches)
+            def _():
+                dma((b + 1) % n_buf, b + 1).start()
+
+            dma(b % n_buf, b).wait()
+            blk = buf[b % n_buf]  # (16, K)
+
+            off = start + b * k_lanes
+            isect_idx = off + lane_idx                       # (1, K)
+            lane_ok = isect_idx < end
+
+            b_s = _splat_basis(blk, cx_t, cy_t)              # (8, K)
+            sigma = jnp.dot(
+                a_p, b_s, preferred_element_type=jnp.float32
+            )                                                # (P, K) via MXU
+            vis = jnp.exp(-sigma)
+            opac = blk[8:9]                                  # (1, K)
+            alpha = jnp.minimum(ALPHA_MAX, opac * vis)
+            ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok
+            alpha = jnp.where(ok, alpha, 0.0)
+
+            lom = jnp.log1p(-alpha)
+            csum = _cumsum_lanes(lom, k_lanes)
+            log_t_after = log_t + csum
+            act = log_t_after > LOG_T_EPS
+            t_before = jnp.exp(log_t_after - lom)
+            fac = alpha * t_before * jnp.where(act, 1.0, 0.0)
+
+            rgb_r = rgb_r + jnp.sum(fac * blk[5:6], axis=1, keepdims=True)
+            rgb_g = rgb_g + jnp.sum(fac * blk[6:7], axis=1, keepdims=True)
+            rgb_b = rgb_b + jnp.sum(fac * blk[7:8], axis=1, keepdims=True)
+            log_t = log_t + jnp.sum(
+                jnp.where(act, lom, 0.0), axis=1, keepdims=True
+            )
+
+            contributed = act & (alpha > 0.0)
+            fidx = jnp.maximum(
+                fidx,
+                jnp.max(jnp.where(contributed, isect_idx, -1), axis=1, keepdims=True),
+            )
+            return (b + 1, log_t, rgb_r, rgb_g, rgb_b, fidx)
+
+        def cond(carry):
+            b, log_t = carry[0], carry[1]
+            return (b < num_batches) & (jnp.max(log_t) > LOG_T_EPS)
+
+        p = TILE_SIZE
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.full((p, 1), -1, jnp.int32),
+        )
+        b_final, log_t, rgb_r, rgb_g, rgb_b, fidx = jax.lax.while_loop(
+            cond, body, init
+        )
+
+        # If the early-out fired, the prefetch for batch b_final is still in
+        # flight; consume it so the next grid step's semaphore accounting
+        # stays correct.
+        @pl.when((b_final >= 1) & (b_final < num_batches))
+        def _():
+            dma(b_final % n_buf, b_final).wait()
+
+        alpha_out = 1.0 - jnp.exp(log_t)
+        img_ref[0] = jnp.concatenate([rgb_r, rgb_g, rgb_b, alpha_out], axis=1)
+        logt_ref[0] = log_t
+        fidx_ref[0] = fidx
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes", "interpret"),
+)
+def rasterize_fwd_pallas(
+    packed, starts, ends, tile_ids,
+    tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
+    interpret: bool = False,
+):
+    """Forward rasterize. Returns (img (T,P,4), log_t (T,P), final_idx (T,P)).
+
+    packed: (16, MAX_ISECTS) from pack_isect_splats. MAX_ISECTS must be a
+    multiple of k_lanes (pad the pool).
+    """
+    assert max_isects % k_lanes == 0, "intersection pool must pad to k_lanes"
+    assert packed.shape[1] == max_isects + k_lanes, (
+        "packed pool must carry one extra K window (see pack_isect_splats)"
+    )
+    kernel = _make_kernel(tiles_x, max_isects, k_lanes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    img, log_t, fidx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, TILE_SIZE, 4), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, TILE_SIZE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, TILE_SIZE, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts, ends, tile_ids, packed)
+    return img, log_t[..., 0], fidx[..., 0]

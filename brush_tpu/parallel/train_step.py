@@ -120,10 +120,8 @@ def make_sharded_train_step(
             order = isect.order
 
             # Tile strip for this device (empty padding ranges past the end).
-            starts_pad = jnp.pad(
-                isect.tile_bins[:-1], (0, tiles_pad - num_tiles)
-            )
-            ends_pad = jnp.pad(isect.tile_bins[1:], (0, tiles_pad - num_tiles))
+            starts_pad = jnp.pad(isect.starts, (0, tiles_pad - num_tiles))
+            ends_pad = jnp.pad(isect.ends, (0, tiles_pad - num_tiles))
             t0 = d * tiles_per
             my_starts = jax.lax.dynamic_slice(starts_pad, (t0,), (tiles_per,))
             my_ends = jax.lax.dynamic_slice(ends_pad, (t0,), (tiles_per,))

@@ -67,17 +67,28 @@ def render_splats(
     active: jnp.ndarray | None = None,
     max_isects: int | None = None,
     block_size: int = 32,
+    backend: str = "auto",
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Render (h, w, 4) RGBA. img_size is (w, h) static.
 
     quats are normalized internally (gaussian_splats.rs:174-175).
+    backend: "xla" (lockstep while_loop implementation), "pallas" (TPU
+    kernels), or "auto" (pallas on TPU-like platforms, xla on CPU).
     """
     n = means.shape[0]
     w, h = int(img_size[0]), int(img_size[1])
     tiles_x = -(-w // TILE_WIDTH)
     tiles_y = -(-h // TILE_WIDTH)
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     if max_isects is None:
         max_isects = default_max_isects(n, img_size)
+    if backend == "pallas":
+        k_lanes = max(128, block_size)
+        max_isects = -(-max_isects // k_lanes) * k_lanes
+        align = k_lanes
+    else:
+        align = 1
 
     quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
 
@@ -102,6 +113,7 @@ def render_splats(
         jax.lax.stop_gradient(opac),
         (tiles_x, tiles_y),
         max_isects,
+        align=align,
     )
     order = isect.order
 
@@ -112,11 +124,16 @@ def render_splats(
     # Differentiable gathers into depth-compact order: cotangents scatter
     # back to global splat indices automatically.
     num_tiles = tiles_x * tiles_y
-    raster = make_rasterizer(tiles_x, num_tiles, max_isects, block_size)
+    if backend == "pallas":
+        from brush_tpu.ops.pallas.raster_vjp import make_pallas_rasterizer
+
+        raster = make_pallas_rasterizer(tiles_x, num_tiles, max_isects, k_lanes)
+    else:
+        raster = make_rasterizer(tiles_x, num_tiles, max_isects, block_size)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles = raster(
         xy[order], proj.conic[order], color[order], opac[order],
-        isect.isect_gid, isect.tile_bins[:-1], isect.tile_bins[1:], tile_ids,
+        isect.isect_gid, isect.starts, isect.ends, tile_ids,
     )
     img = assemble_image(img_tiles, img_size, tiles_x, tiles_y)
 

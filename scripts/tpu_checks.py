@@ -1,0 +1,145 @@
+"""On-hardware checks: Pallas kernels vs XLA implementations on the real TPU.
+
+Run (on a machine with a TPU visible to JAX):
+    python scripts/tpu_checks.py [--n 20000] [--img 512]
+
+Complements the CPU interpret-mode tests in tests/test_pallas_*.py.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20000)
+    ap.add_argument("--img", type=int, default=512)
+    ap.add_argument("--k-lanes", type=int, default=512)
+    ap.add_argument("--skip-xla", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from brush_tpu.camera import Camera
+    from brush_tpu.constants import SH_C0, TILE_WIDTH
+    from brush_tpu.ops.binning import build_intersections
+    from brush_tpu.ops.pallas.rasterize_fwd import (
+        pack_isect_splats,
+        rasterize_fwd_pallas,
+    )
+    from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.rasterize_reference import camera_params
+    from brush_tpu.ops.rasterize_tiled import make_rasterizer
+    from brush_tpu.ops.sh import sh_to_color
+
+    print("devices:", jax.devices())
+    n = args.n
+    img_size = (args.img, args.img)
+    rng = np.random.default_rng(0)
+
+    means = jnp.asarray(rng.uniform(-3, 3, size=(n, 3)), jnp.float32)
+    log_scales = jnp.asarray(np.log(rng.uniform(0.02, 0.3, size=(n, 3))), jnp.float32)
+    quats = rng.normal(size=(n, 4))
+    quats = jnp.asarray(quats / np.linalg.norm(quats, axis=-1, keepdims=True), jnp.float32)
+    colors = rng.uniform(0, 1, size=(n, 3))
+    sh = jnp.asarray((colors[:, None, :] - 0.5) / SH_C0, jnp.float32)
+    opacs = rng.uniform(0.2, 0.9, n)
+    opac_raw = jnp.asarray(np.log(opacs / (1 - opacs)), jnp.float32)
+
+    cam = Camera(position=[0, 0, -8], rotation=[1, 0, 0, 0], fov_x=np.pi / 2, fov_y=np.pi / 2)
+    cp = camera_params(cam, img_size)
+    tiles_x = -(-img_size[0] // TILE_WIDTH)
+    tiles_y = -(-img_size[1] // TILE_WIDTH)
+    num_tiles = tiles_x * tiles_y
+
+    k_lanes = args.k_lanes
+    max_isects = ((min(n * num_tiles, 1 << 22) + k_lanes - 1) // k_lanes) * k_lanes
+
+    @jax.jit
+    def prep():
+        proj = project_splats(
+            means, log_scales, quats, cp.viewmat, cp.focal, cp.pixel_center, img_size
+        )
+        cam_pos = cp.viewmat[:3, 3]
+        vd = means - cam_pos
+        vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True).clip(1e-12)
+        color = sh_to_color(0, vd, sh)
+        opac = jax.nn.sigmoid(opac_raw)
+        isect = build_intersections(proj, opac, (tiles_x, tiles_y), max_isects,
+                                    align=k_lanes)
+        o = isect.order
+        packed = pack_isect_splats(
+            proj.xy[o], proj.conic[o], color[o], opac[o], isect.isect_gid,
+            max_isects, k_lanes,
+        )
+        return (
+            proj.xy[o], proj.conic[o], color[o], opac[o], packed,
+            isect.isect_gid, isect.starts, isect.ends, isect.num_isects,
+        )
+
+    t0 = time.perf_counter()
+    (xy, conic, color, opac, packed, isect_gid, starts, ends, num_isects) = (
+        jax.block_until_ready(prep())
+    )
+    print(f"prep (proj+bin+sort) compile+run: {time.perf_counter()-t0:.1f}s, "
+          f"num_isects={int(num_isects)}")
+
+    # Timed prep (binning pipeline alone).
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = prep()
+    jax.block_until_ready(out)
+    print(f"prep steady-state: {(time.perf_counter()-t0)/3*1000:.1f} ms")
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+
+    fwd = lambda: rasterize_fwd_pallas(
+        packed, starts, ends, tile_ids,
+        tiles_x=tiles_x, num_tiles=num_tiles, max_isects=max_isects,
+        k_lanes=k_lanes,
+    )
+    t0 = time.perf_counter()
+    img_pl, log_t, fidx = jax.block_until_ready(fwd())
+    print(f"pallas fwd compile+run: {time.perf_counter()-t0:.1f}s")
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    mpix = img_size[0] * img_size[1] / 1e6
+    print(f"pallas fwd: {dt*1000:.2f} ms -> {mpix/dt:.0f} Mpix/s "
+          f"({int(num_isects)/dt/1e6:.0f}M isects/s)")
+
+    if not args.skip_xla:
+        raster = make_rasterizer(tiles_x, num_tiles, max_isects, 256)
+
+        @jax.jit
+        def xla_fwd():
+            return raster(xy, conic, color, opac, isect_gid, starts, ends, tile_ids)
+
+        t0 = time.perf_counter()
+        img_xla = jax.block_until_ready(xla_fwd())
+        print(f"xla fwd compile+run: {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = xla_fwd()
+        jax.block_until_ready(out)
+        dt_x = (time.perf_counter() - t0) / 3
+        print(f"xla fwd: {dt_x*1000:.2f} ms -> {mpix/dt_x:.0f} Mpix/s")
+
+        diff = np.abs(np.asarray(img_pl) - np.asarray(img_xla))
+        print(f"pallas vs xla: max diff {diff.max():.2e}")
+        assert diff.max() < 1e-3, "MISMATCH"
+        print("MATCH")
+
+
+if __name__ == "__main__":
+    main()
