@@ -55,6 +55,17 @@ def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
     return min(n * tiles, cap)
 
 
+def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
+    """(h, w, 4) float RGBA -> (h, w) uint32 packed RGBA8.
+
+    The reference's display path packs inside the kernel when
+    render_u32_buffer is set (rasterize.wgsl:106-109); packing the float
+    image afterwards yields identical bytes and keeps one kernel variant.
+    """
+    q = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.uint32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
+
+
 def render_splats(
     means: jnp.ndarray,
     log_scales: jnp.ndarray,
