@@ -163,8 +163,21 @@ def build_intersections(
     valid = in_pool & exact
 
     # --- tile sort (replaces the second radix sort + bin edges kernel) ---
+    # When tile and slot ids fit one u32 together, pack them and sort a
+    # single array: the low slot bits carry the depth order, so stability is
+    # free and the sort moves half the bytes. (The reference's radix sort
+    # instead restricts the *bit count* per sort, README.md:87.)
     key = jnp.where(valid, tile_id, num_tiles)
-    sorted_key, isect_gid = jax.lax.sort_key_val(key, splat, is_stable=True)
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    slot_bits = 32 - tile_bits
+    if max_isects <= (1 << slot_bits):
+        packed = (key.astype(jnp.uint32) << slot_bits) | slot.astype(jnp.uint32)
+        sorted_packed = jax.lax.sort(packed)
+        sorted_key = (sorted_packed >> slot_bits).astype(jnp.int32)
+        slot_of = (sorted_packed & ((1 << slot_bits) - 1)).astype(jnp.int32)
+        isect_gid = splat[slot_of]
+    else:
+        sorted_key, isect_gid = jax.lax.sort_key_val(key, splat, is_stable=True)
 
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     tile_bins = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)

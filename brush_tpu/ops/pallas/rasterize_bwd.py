@@ -97,7 +97,8 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             lane_ok = isect_idx < end
 
             b_s = _splat_basis(blk, cx_t, cy_t)
-            sigma = jnp.dot(a_p, b_s, preferred_element_type=jnp.float32)
+            sigma = jnp.dot(a_p, b_s, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             vis = jnp.exp(-sigma)
             opac = blk[8:9]
             alpha = jnp.minimum(ALPHA_MAX, opac * vis)
@@ -134,7 +135,8 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             # Moments of v_sigma over [1, px, py, px^2, py^2, px*py] — one
             # MXU product gives every pixel reduction the grads need.
             mom = jnp.dot(
-                w_mom.T, v_sigma, preferred_element_type=jnp.float32
+                w_mom.T, v_sigma, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             )  # (8, K): [S0, Sx, Sy, Sxx, Syy, Sxy, 0, 0]
             s0 = mom[0:1]
             sx = mom[1:2]
@@ -166,7 +168,8 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             w_col = jnp.concatenate(
                 [v_rgb, jnp.zeros((TILE_SIZE, 8 - 3), jnp.float32)], axis=1
             )
-            colm = jnp.dot(w_col.T, fac, preferred_element_type=jnp.float32)
+            colm = jnp.dot(w_col.T, fac, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             g_col_r = colm[0:1]
             g_col_g = colm[1:2]
             g_col_b = colm[2:3]

@@ -170,7 +170,8 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
 
             b_s = _splat_basis(blk, cx_t, cy_t)              # (8, K)
             sigma = jnp.dot(
-                a_p, b_s, preferred_element_type=jnp.float32
+                a_p, b_s, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
             )                                                # (P, K) via MXU
             vis = jnp.exp(-sigma)
             opac = blk[8:9]                                  # (1, K)

@@ -45,11 +45,13 @@ def make_sharded_train_step(
     sh_count: int,
     max_isects: int | None = None,
     block_size: int = 32,
+    backend: str = "auto",
 ):
     """Build a jitted sharded train step.
 
     Returns step(state, gt, viewmat, focal, pixel_center, lr_mean, step_idx)
     -> (state, StepStats) with all (C, ...) state arrays sharded over AXIS.
+    backend: "xla" | "pallas" | "auto" (pallas on TPU platforms).
     """
     n_dev = mesh.size
     if capacity % n_dev:
@@ -63,13 +65,24 @@ def make_sharded_train_step(
     tiles_per = -(-num_tiles // n_dev)
     tiles_pad = tiles_per * n_dev
 
+    if backend == "auto":
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
     if max_isects is None:
         from brush_tpu.render import default_max_isects
 
         max_isects = default_max_isects(capacity, img_size)
 
     ssim = Ssim(config.ssim_window_size, 3)
-    raster = make_rasterizer(tiles_x, tiles_per, max_isects, block_size)
+    if backend == "pallas":
+        from brush_tpu.ops.pallas.raster_vjp import make_pallas_rasterizer
+
+        k_lanes = max(128, block_size)
+        max_isects = -(-max_isects // k_lanes) * k_lanes
+        align = k_lanes
+        raster = make_pallas_rasterizer(tiles_x, tiles_per, max_isects, k_lanes)
+    else:
+        align = 1
+        raster = make_rasterizer(tiles_x, tiles_per, max_isects, block_size)
 
     def device_fn(params, opt_m, opt_v, opt_count, accum, counts, n_live,
                   gt, viewmat, focal, pixel_center, lr_mean, step_idx):
@@ -116,6 +129,7 @@ def make_sharded_train_step(
                 jax.lax.stop_gradient(opac_f),
                 (tiles_x, tiles_y),
                 max_isects,
+                align=align,
             )
             order = isect.order
 

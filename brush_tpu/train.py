@@ -102,6 +102,10 @@ class SplatTrainer:
         self.config = config or TrainConfig()
         self.iter = 0
         self.raster_block_size = raster_block_size
+        # Adaptive intersection-pool size: sorting the pool dominates step
+        # time if it is oversized, so start modest and grow on pressure
+        # (checked at refine boundaries, where a host sync happens anyway).
+        self._isect_pool = None
         self._ssim = Ssim(self.config.ssim_window_size, 3)
         self._key = jax.random.PRNGKey(self.config.seed)
         self.last_refine_stats = None
@@ -128,8 +132,9 @@ class SplatTrainer:
             lr_mean *= batch.scene_extent
 
         cam = camera_params(batch.camera, img_size)
+        pool = self._pool_size(state.splats.capacity)
         step_fn = self._get_step_fn(state.splats.capacity, img_size, channels,
-                                    state.splats.sh_count)
+                                    state.splats.sh_count, pool)
 
         pre_splats = state.splats
         state, stats = step_fn(
@@ -144,6 +149,10 @@ class SplatTrainer:
         )
         self.last_refine_stats = None
         if do_refine:
+            # Host sync point: also check intersection-pool pressure and
+            # grow it (with a recompile) before records start dropping.
+            if int(stats.num_isects) > 0.85 * pool:
+                self._isect_pool = pool * 2
             state, self.last_refine_stats = self._refine(state, pre_splats)
 
         self.iter += 1
@@ -151,8 +160,14 @@ class SplatTrainer:
 
     # ------------------------------------------------------------------ #
 
+    def _pool_size(self, capacity: int) -> int:
+        if self._isect_pool is None:
+            self._isect_pool = min(max(capacity * 16, 1 << 16), 1 << 22)
+        return self._isect_pool
+
     @functools.lru_cache(maxsize=16)
-    def _get_step_fn(self, capacity: int, img_size: tuple, channels: int, sh_count: int):
+    def _get_step_fn(self, capacity: int, img_size: tuple, channels: int,
+                     sh_count: int, max_isects: int):
         cfg = self.config
         w, h = img_size
         ssim = self._ssim
@@ -163,7 +178,7 @@ class SplatTrainer:
                 params["means"], params["log_scales"], params["quats"],
                 params["sh_coeffs"], params["raw_opacity"],
                 cam, img_size, xy_dummy=xy_dummy, active=active,
-                block_size=block,
+                block_size=block, max_isects=max_isects,
             )
             pred = img if channels == 4 else img[..., :3]
             l1 = jnp.mean(jnp.abs(pred - gt))

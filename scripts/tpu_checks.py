@@ -136,8 +136,13 @@ def main():
         print(f"xla fwd: {dt_x*1000:.2f} ms -> {mpix/dt_x:.0f} Mpix/s")
 
         diff = np.abs(np.asarray(img_pl) - np.asarray(img_xla))
-        print(f"pallas vs xla: max diff {diff.max():.2e}")
-        assert diff.max() < 1e-3, "MISMATCH"
+        print(f"pallas vs xla: max diff {diff.max():.2e} mean {diff.mean():.2e}")
+        # Sub-1/255 max tolerance: fp-ordering can flip a splat exactly at
+        # the alpha >= 1/255 contribution threshold (sigma computed by MXU
+        # rank-6 form vs VPU direct form); such a flip changes a pixel by at
+        # most 1/255. Anything above that is a real bug.
+        assert diff.max() < 1.5 / 255.0, "MISMATCH"
+        assert diff.mean() < 1e-5, "MISMATCH (mean)"
         print("MATCH")
 
 
