@@ -47,13 +47,15 @@ def main():
     def forward(means, log_scales, quats, sh_coeffs, raw_opacity):
         img, aux = render_splats(
             means, log_scales, quats, sh_coeffs, raw_opacity,
-            cp, img_size, block_size=256,
+            cp, img_size, block_size=256, max_isects=1 << 22,
         )
         return img, aux.num_isects
 
-    args = (
-        splats.means, splats.log_scales, splats.quats,
-        splats.sh_coeffs, splats.raw_opacity,
+    args = jax.device_put(
+        (
+            splats.means, splats.log_scales, splats.quats,
+            splats.sh_coeffs, splats.raw_opacity,
+        )
     )
 
     # Warmup / compile.

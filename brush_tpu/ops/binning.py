@@ -4,20 +4,36 @@ The reference builds this with GPU-side atomic compaction, two radix sorts
 and an indirect-dispatched expansion kernel (reference: render.rs:123-265,
 map_gaussian_to_intersects.wgsl, get_tile_bin_edges.wgsl). TPU/XLA has no
 atomics or dynamic dispatch, so the same structure is built with static
-shapes:
+shapes — and, because TPU gathers/scatters cost ~20ns *per index* regardless
+of row width, the design minimises the number of indexed memory ops:
 
-- depth ordering: one `sort` over the padded splat array with +inf keys for
-  culled splats (replaces brush-sort's 32-bit radix argsort + compaction);
-- expansion: a fixed pool of MAX_ISECTS intersection slots. Slot -> splat
-  mapping is recovered with a scatter + cummax over bbox-area prefix sums
-  (no searchsorted, O(MAX_ISECTS)); each slot decodes its tile from its rank
-  inside the splat's tile bbox.
-- the exact ellipse/AABB tile test (helpers.wgsl:220-279) is applied per
-  *slot* rather than twice per splat; rejected slots get a sentinel key and
-  sort to the end, which reproduces the reference's intersection list
-  exactly (same records, same order).
-- tile ranges come from searchsorted over the sorted keys (replaces
-  get_tile_bin_edges.wgsl boundary detection).
+- **exact-test pretest** (mirrors project_visible.wgsl counting its exact
+  per-tile hits before expansion): each splat evaluates the ellipse/AABB
+  test (helpers.wgsl:220-279) densely over its tile bbox (up to 64 tiles)
+  and packs the passing tiles into a 64-bit mask + per-byte popcounts. The
+  intersection pool then holds only *exact* hits — typically 3-4x fewer
+  slots than bbox-area expansion, and every pool-sized op shrinks with it.
+  Splats with bbox > 64 tiles fall back to conservative bbox expansion;
+  their extra records have alpha < 1/255 in the tile and are culled by the
+  rasterizer's alpha cut, so images are identical (only num_isects differs
+  from the reference when such splats exist).
+- depth ordering: positive-float keys bitcast to u32 (monotone for
+  depth > 0, same trick as the reference's 32-bit radix argsort on float
+  bits, render.rs:153-156) sorted with an index payload;
+- expansion: a fixed pool of MAX_ISECTS slots; slot -> splat recovered with
+  one scatter-add at segment starts + a cumsum; the slot's tile decodes
+  from its rank via the bitmask (select rank-th set bit using the
+  precomputed byte popcounts). Integer div/mod by dynamic divisors is
+  avoided (slow on TPU) in favour of exact float division with fixup. All
+  per-splat decode state rides in one (N, 8) row array so the per-slot
+  lookup is a single row gather;
+- tile grouping: one u32 sort of (tile_id << slot_bits | slot) — the low
+  slot bits carry the depth order, so stability is free and the sort moves
+  half the bytes. Tile ranges come from searchsorted over the sorted keys
+  (replaces get_tile_bin_edges.wgsl boundary detection);
+- the align>1 re-layout is gather-free: with per-run padding assigned at
+  run *ends*, every record's aligned position is simply
+  `iota + exclusive_cumsum(end_pads)`.
 
 The whole pipeline is index bookkeeping — gradients never flow through it
 (mirrors the reference, where these buffers are plain integer workspaces).
@@ -27,11 +43,15 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from brush_tpu.constants import TILE_WIDTH
 from brush_tpu.ops.projection import Projection
+
+MASK_BITS = 64  # bbox tiles covered by the exact-pretest bitmask
 
 
 def _check_edge(p1x, p1y, p2x, p2y, ex, ey, ca, cb, cc):
@@ -91,6 +111,119 @@ def can_be_visible(tile_x, tile_y, xy, conic, opac):
     return (sigma > 0.0) & hit
 
 
+def _floor_div(a_int, b_float, b_int):
+    """Exact floor(a / b) for non-negative int32 a and small positive b.
+
+    Float division is correctly rounded but can land on the wrong side of an
+    integer boundary; two fixups make the result exact. Dynamic-divisor
+    integer div/mod lowers very slowly on TPU — this stays on the float VPU.
+    """
+    y = jnp.floor(a_int.astype(jnp.float32) / b_float).astype(jnp.int32)
+    r = a_int - y * b_int
+    y = jnp.where(r < 0, y - 1, y)
+    r = a_int - y * b_int
+    y = jnp.where(r >= b_int, y + 1, y)
+    return y
+
+
+class TileMasks(NamedTuple):
+    """Per-splat exact-pretest results (global splat order)."""
+
+    counts: jnp.ndarray    # (N,) int32 exact (or conservative) record count
+    mask_lo: jnp.ndarray   # (N,) uint32 bits 0-31 of the bbox hit mask
+    mask_hi: jnp.ndarray   # (N,) uint32 bits 32-63
+    pc_pack: jnp.ndarray   # (N,) uint32 popcount of each mask byte, 4b each
+    small: jnp.ndarray     # (N,) bool — mask is authoritative (area <= 64)
+
+
+def precompute_tile_masks(proj: Projection, opac: jnp.ndarray) -> TileMasks:
+    """Evaluate the exact tile test densely over each splat's bbox.
+
+    The reference counts exact hits per splat with a scalar loop over its
+    bbox (project_visible.wgsl tile loop writing num_tiles_hit); here the
+    loop is a dense (64, N) vector pass the VPU chews through in one fused
+    kernel — k lives in the sublane dim so per-splat reductions never cross
+    lanes, and all bit packing is done with exact power-of-two f32 sums
+    (native reductions; u32 tree-sums lower poorly).
+    """
+    bbox_w = (proj.tile_max[:, 0] - proj.tile_min[:, 0]).astype(jnp.int32)
+    bbox_h = (proj.tile_max[:, 1] - proj.tile_min[:, 1]).astype(jnp.int32)
+    area = jnp.where(proj.visible, bbox_w * bbox_h, 0)
+    small = area <= MASK_BITS
+
+    k = jnp.arange(MASK_BITS, dtype=jnp.int32)[:, None]            # (64, 1)
+    w_i = jnp.maximum(bbox_w, 1)[None, :]                           # (1, N)
+    w_f = w_i.astype(jnp.float32)
+    ky = _floor_div(k, w_f, w_i)
+    kx = k - ky * w_i
+    tx = proj.tile_min[None, :, 0] + kx
+    ty = proj.tile_min[None, :, 1] + ky
+    hit = can_be_visible(
+        tx, ty, proj.xy[None, :, :], proj.conic[None, :, :], opac[None, :]
+    )
+    hit = hit & (k < area[None, :])                                 # (64, N)
+    hit_f = hit.astype(jnp.float32)
+
+    # Exact f32 packing: every weight is a power of two and each partial sum
+    # stays <= 65535, so the 16-bit half-sums are exact.
+    w16 = (1 << np.arange(16, dtype=np.int64)).astype(np.float32)[:, None]
+
+    def pack16(rows):  # (16, N) bits -> (N,) exact integer-valued f32
+        return jnp.sum(rows * w16, axis=0)
+
+    q0 = pack16(hit_f[0:16])
+    q1 = pack16(hit_f[16:32])
+    q2 = pack16(hit_f[32:48])
+    q3 = pack16(hit_f[48:64])
+    mask_lo = q0.astype(jnp.uint32) | (q1.astype(jnp.uint32) << 16)
+    mask_hi = q2.astype(jnp.uint32) | (q3.astype(jnp.uint32) << 16)
+
+    # Per-byte popcounts (<= 8 each) packed 4 bits apiece, via one weighted
+    # f32 sum: sum_k hit_k * 16^(k//8) = sum_j popcount_j * 16^j, exact
+    # because every term and partial sum is < 2^24.
+    wpc = (16.0 ** (np.arange(MASK_BITS) // 8)).astype(np.float32)[:, None]
+    pc_pack = jnp.sum(hit_f * wpc, axis=0).astype(jnp.uint32)
+
+    cnt_exact = jnp.sum(hit_f, axis=0).astype(jnp.int32)
+    counts = jnp.where(small, cnt_exact, area)
+    return TileMasks(
+        counts=counts, mask_lo=mask_lo, mask_hi=mask_hi, pc_pack=pc_pack,
+        small=small,
+    )
+
+
+def _select_bit(mask_lo, mask_hi, pc_pack, rank):
+    """Position of the rank-th set bit of a 64-bit mask (0-indexed).
+
+    Uses the precomputed per-byte popcounts (4 bits each in pc_pack): a
+    linear scan picks the byte, then a second scan the bit. ~60 fused int
+    ops per element — no gathers, no popcount primitive (slow on TPU).
+    """
+    acc = jnp.zeros_like(rank)
+    sel_byte = jnp.zeros_like(rank)
+    r_in = rank
+    for j in range(8):
+        cj = ((pc_pack >> jnp.uint32(4 * j)) & jnp.uint32(15)).astype(jnp.int32)
+        take = (rank >= acc) & (rank < acc + cj)
+        sel_byte = jnp.where(take, j, sel_byte)
+        r_in = jnp.where(take, rank - acc, r_in)
+        acc = acc + cj
+    shift = (jnp.minimum(sel_byte, 3) * 8).astype(jnp.uint32)
+    shift_hi = ((sel_byte - 4).clip(0) * 8).astype(jnp.uint32)
+    byte = jnp.where(
+        sel_byte < 4, (mask_lo >> shift), (mask_hi >> shift_hi)
+    ).astype(jnp.int32) & 255
+
+    cum = jnp.zeros_like(rank)
+    pos_in = jnp.zeros_like(rank)
+    for b in range(8):
+        bit = (byte >> b) & 1
+        take = (bit == 1) & (cum == r_in)
+        pos_in = jnp.where(take, b, pos_in)
+        cum = cum + bit
+    return sel_byte * 8 + pos_in
+
+
 class Intersections(NamedTuple):
     """Static-shape intersection workspace (all integer index bookkeeping)."""
 
@@ -123,50 +256,77 @@ def build_intersections(
     tiles_x, tiles_y = tile_bounds
     num_tiles = tiles_x * tiles_y
 
+    masks = precompute_tile_masks(proj, opac)
+    producing = proj.visible & (masks.counts > 0)
+
+    # Per-splat decode rows, packed BEFORE the depth gather so reordering
+    # them costs one indexed op. Column 0 (offsets) is filled post-sort.
+    decode_g = jnp.stack(
+        [
+            jnp.where(producing, masks.counts, 0),
+            masks.mask_lo.astype(jnp.int32),
+            masks.mask_hi.astype(jnp.int32),
+            masks.pc_pack.astype(jnp.int32),
+            proj.tile_min[:, 0],
+            proj.tile_min[:, 1],
+            jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1),
+            masks.small.astype(jnp.int32),
+        ],
+        axis=1,
+    )  # (N, 8) int32
+
     # --- depth sort (replaces radix_argsort, render.rs:151-156) ---
-    depth_key = jnp.where(proj.visible, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key)  # stable
+    # Positive-float bits are order-isomorphic to their u32 pattern (the
+    # same fact the reference's radix sort relies on). Splats with no
+    # records sort to the end so slot->splat windows stay dense.
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 1e-20), jnp.uint32
+    )
+    depth_key = jnp.where(producing, depth_bits, jnp.uint32(0xFFFFFFFF))
+    _, order = jax.lax.sort_key_val(
+        depth_key, jnp.arange(n, dtype=jnp.int32), is_stable=True
+    )
     num_visible = jnp.sum(proj.visible).astype(jnp.int32)
 
-    xy = proj.xy[order]
-    conic = proj.conic[order]
-    opac_c = opac[order]
-    tmin = proj.tile_min[order]
-    tmax = proj.tile_max[order]
-    visible = proj.visible[order]
-
-    # --- expansion offsets from bbox areas ---
-    bbox_w = (tmax[:, 0] - tmin[:, 0]).astype(jnp.int32)
-    bbox_h = (tmax[:, 1] - tmin[:, 1]).astype(jnp.int32)
-    areas = jnp.where(visible, bbox_w * bbox_h, 0)
-    cum = jnp.cumsum(areas)
-    offsets = cum - areas
+    decode = decode_g[order]                       # ONE N-sized row gather
+    counts_c = decode[:, 0]
+    cum = jnp.cumsum(counts_c)
+    offsets = cum - counts_c
     total = cum[-1]
+    # Repurpose column 0 to hold the slot offsets so the per-slot lookup
+    # below stays a single row gather.
+    decode = jnp.concatenate([offsets[:, None], decode[:, 1:]], axis=1)
 
-    # --- slot -> compact splat id via scatter + cummax ---
-    scatter_idx = jnp.where(areas > 0, offsets, max_isects)  # dropped if ==max
-    marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].max(
-        jnp.arange(n, dtype=jnp.int32) + 1, mode="drop"
+    # --- slot -> compact splat id: one scatter-add at segment starts plus a
+    # cumsum (producing splats are the depth-order prefix, so the running
+    # count of starts IS the compact splat index) ---
+    scatter_idx = jnp.where(counts_c > 0, offsets, max_isects)
+    marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].add(
+        1, mode="drop"
     )
-    slot_splat = jax.lax.cummax(marks) - 1  # -1 before first offset
+    splat = jnp.cumsum(marks) - 1                  # (MAX_ISECTS,), monotone
     slot = jnp.arange(max_isects, dtype=jnp.int32)
-    splat = jnp.clip(slot_splat, 0, n - 1)
+    valid = (splat >= 0) & (slot < total)
+    splat = jnp.clip(splat, 0, n - 1)
 
-    rank = slot - offsets[splat]
-    w = jnp.maximum(bbox_w[splat], 1)
-    tile_x = tmin[splat, 0] + rank % w
-    tile_y = tmin[splat, 1] + rank // w
-    tile_id = tile_y * tiles_x + tile_x
+    d = decode[splat]                              # ONE pool-sized row gather
+    rank = slot - d[:, 0]
+    mask_lo = d[:, 1].astype(jnp.uint32)
+    mask_hi = d[:, 2].astype(jnp.uint32)
+    pc_pack = d[:, 3].astype(jnp.uint32)
+    w_i = d[:, 6]
+    pos = jnp.where(
+        d[:, 7] > 0, _select_bit(mask_lo, mask_hi, pc_pack, rank), rank
+    )
+    dy = _floor_div(pos, w_i.astype(jnp.float32), w_i)
+    dx = pos - dy * w_i
+    tile_id = (d[:, 5] + dy) * tiles_x + (d[:, 4] + dx)
 
-    in_pool = (slot_splat >= 0) & (slot < total)
-    exact = can_be_visible(tile_x, tile_y, xy[splat], conic[splat], opac_c[splat])
-    valid = in_pool & exact
-
-    # --- tile sort (replaces the second radix sort + bin edges kernel) ---
-    # When tile and slot ids fit one u32 together, pack them and sort a
-    # single array: the low slot bits carry the depth order, so stability is
-    # free and the sort moves half the bytes. (The reference's radix sort
-    # instead restricts the *bit count* per sort, README.md:87.)
+    # --- tile grouping (replaces the second radix sort + bin edges kernel) ---
+    # Pack tile and slot ids into one u32 and sort a single array: the low
+    # slot bits carry the depth order, so stability is free and the sort
+    # moves half the bytes. (The reference's radix sort instead restricts
+    # the *bit count* per sort, README.md:87.)
     key = jnp.where(valid, tile_id, num_tiles)
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     slot_bits = 32 - tile_bits
@@ -193,17 +353,35 @@ def build_intersections(
             num_isects=num_isects,
         )
 
-    # --- aligned re-layout for the Pallas kernels ---
+    # --- aligned re-layout, gather-free ---
+    # Treat each run of equal sorted keys as a segment; assign its
+    # pad-to-align at the run's END. Then every record's aligned position is
+    # iota + (sum of pads of runs that ended strictly before it):
+    #   new_pos[i] = i + exclusive_cumsum(end_pad)[i]
+    is_end = jnp.concatenate(
+        [sorted_key[1:] != sorted_key[:-1], jnp.ones((1,), bool)]
+    )
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    run_start = jax.lax.cummax(jnp.where(is_start, slot, 0))
+    run_len_at_end = slot - run_start + 1
+    end_pad = jnp.where(
+        is_end & (sorted_key < num_tiles), (-run_len_at_end) % align, 0
+    )
+    pad_cum = jnp.cumsum(end_pad)
+    new_pos = slot + (pad_cum - end_pad)  # exclusive cumsum
+    new_pos = jnp.where(sorted_key < num_tiles, new_pos, max_isects)
+
+    # Per-tile aligned ranges: tiny (num_tiles+1) gather of the pad cumsum
+    # at each tile's first record.
+    pads_before = (pad_cum - end_pad)[jnp.minimum(tile_bins, max_isects - 1)]
+    pads_before = jnp.where(tile_bins >= max_isects, pad_cum[-1], pads_before)
+    aligned_starts = tile_bins[:-1] + pads_before[:-1]
     counts = tile_bins[1:] - tile_bins[:-1]
-    aligned_counts = -(-counts // align) * align
-    aligned_starts = jnp.cumsum(aligned_counts) - aligned_counts
     starts = jnp.minimum(aligned_starts, max_isects).astype(jnp.int32)
     ends = jnp.minimum(aligned_starts + counts, max_isects).astype(jnp.int32)
 
-    sorted_tile = jnp.clip(sorted_key, 0, num_tiles - 1)
-    rank = slot - tile_bins[:-1][sorted_tile]
-    new_pos = aligned_starts[sorted_tile] + rank
-    new_pos = jnp.where(sorted_key < num_tiles, new_pos, max_isects)
     # Padding / overflow slots carry splat id n: scatter-adds in the
     # backward drop them (out-of-range index).
     gid_aligned = jnp.full((max_isects,), n, jnp.int32).at[new_pos].set(

@@ -61,15 +61,16 @@ def make_pallas_rasterizer(
 
         # Alignment-padding and overflow slots carry splat id n (see
         # ops/binning.py) and the extra K-lane window is padded with n too:
-        # unwritten-garbage records scatter out of range and are dropped.
-        recs = grads[:9]
+        # unwritten-garbage records land in the scratch row n and are
+        # sliced off. ONE fused row scatter-add — scatters cost per index,
+        # so four separate ones would cost 4x.
+        recs = grads[:9].T  # (max_isects + k, 9)
         gid = jnp.pad(isect_gid, (0, k_lanes), constant_values=n)
-
-        v_xy = jnp.zeros((n, 2), jnp.float32).at[gid].add(recs[0:2].T)
-        v_conic = jnp.zeros((n, 3), jnp.float32).at[gid].add(recs[2:5].T)
-        v_color = jnp.zeros((n, 3), jnp.float32).at[gid].add(recs[5:8].T)
-        v_opac = jnp.zeros((n,), jnp.float32).at[gid].add(recs[8])
-        return (v_xy, v_conic, v_color, v_opac, None, None, None, None)
+        acc = jnp.zeros((n + 1, 9), jnp.float32).at[gid].add(recs)[:n]
+        return (
+            acc[:, 0:2], acc[:, 2:5], acc[:, 5:8], acc[:, 8],
+            None, None, None, None,
+        )
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster

@@ -51,16 +51,10 @@ def pack_isect_splats(xy, conic, color, opac, isect_gid, max_isects: int,
     in backward, write) a full K without bounds clamping — clamping would
     make adjacent tiles' write windows overlap.
     """
-    rows = jnp.stack(
-        [
-            xy[:, 0], xy[:, 1],
-            conic[:, 0], conic[:, 1], conic[:, 2],
-            color[:, 0], color[:, 1], color[:, 2],
-            opac,
-        ],
-        axis=0,
-    )  # (9, N)
-    packed = rows[:, isect_gid]  # (9, MAX_ISECTS)
+    rows = jnp.concatenate(
+        [xy, conic, color, opac[:, None]], axis=1
+    )  # (N, 9) — row-major so the pool gather moves whole contiguous rows
+    packed = rows[isect_gid].T  # (9, MAX_ISECTS)
     return jnp.pad(packed, ((0, PACK_ROWS - 9), (0, k_lanes)))
 
 

@@ -74,29 +74,61 @@ def calc_cov2d(
 
     rz = 1.0 / p_view[:, 2]
     rz2 = rz * rz
-    t_xy = p_view[:, 2:3] * jnp.clip(p_view[:, :2] * rz[:, None], -lims_neg, lims_pos)
+    tx = p_view[:, 2] * jnp.clip(p_view[:, 0] * rz, -lims_neg[0], lims_pos[0])
+    ty = p_view[:, 2] * jnp.clip(p_view[:, 1] * rz, -lims_neg[1], lims_pos[1])
 
-    rot = quat_to_rotmat(quats)
-    m = rot * scales[:, None, :]  # scale columns: M = R @ diag(s)
-    v = jnp.einsum("nij,nkj->nik", m, m)  # M @ M^T
-
-    # J is the 2x3 Jacobian of the projection at the clamped tangent point.
-    zeros = jnp.zeros_like(rz)
-    j = jnp.stack(
-        [
-            jnp.stack([focal[0] * rz, zeros, -focal[0] * t_xy[:, 0] * rz2], axis=-1),
-            jnp.stack([zeros, focal[1] * rz, -focal[1] * t_xy[:, 1] * rz2], axis=-1),
-        ],
-        axis=1,
-    )  # (N, 2, 3)
-
+    # Everything below is the fully expanded scalar form of
+    # T V T^T with V = (R diag(s)) (R diag(s))^T and T = J W. Batched (N,3,3)
+    # einsums lower to per-splat micro-matmuls that waste the MXU (its tiles
+    # are 128x128); the expansion keeps the whole projection on the VPU as a
+    # handful of fused (N,) vector ops.
+    qw, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    x2, y2, z2 = qx * qx, qy * qy, qz * qz
+    xy_, xz_, yz_ = qx * qy, qx * qz, qy * qz
+    wx_, wy_, wz_ = qw * qx, qw * qy, qw * qz
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    # m_ij = R_ij * s_j  (M = R @ diag(s))
+    m00 = (1.0 - 2.0 * (y2 + z2)) * s0
+    m01 = (2.0 * (xy_ - wz_)) * s1
+    m02 = (2.0 * (xz_ + wy_)) * s2
+    m10 = (2.0 * (xy_ + wz_)) * s0
+    m11 = (1.0 - 2.0 * (x2 + z2)) * s1
+    m12 = (2.0 * (yz_ - wx_)) * s2
+    m20 = (2.0 * (xz_ - wy_)) * s0
+    m21 = (2.0 * (yz_ + wx_)) * s1
+    m22 = (1.0 - 2.0 * (x2 + y2)) * s2
+    # V = M M^T, symmetric (6 unique entries)
+    v00 = m00 * m00 + m01 * m01 + m02 * m02
+    v01 = m00 * m10 + m01 * m11 + m02 * m12
+    v02 = m00 * m20 + m01 * m21 + m02 * m22
+    v11 = m10 * m10 + m11 * m11 + m12 * m12
+    v12 = m10 * m20 + m11 * m21 + m12 * m22
+    v22 = m20 * m20 + m21 * m21 + m22 * m22
+    # J rows: [fx*rz, 0, -fx*tx*rz2], [0, fy*rz, -fy*ty*rz2]
+    ja = focal[0] * rz
+    jc0 = -focal[0] * tx * rz2
+    jb = focal[1] * rz
+    jc1 = -focal[1] * ty * rz2
+    # T = J @ W (W constant 3x3), rows t0, t1
     w = viewmat[:3, :3]
-    t = jnp.einsum("nij,jk->nik", j, w)  # (N, 2, 3)
-    cov = jnp.einsum("nij,njk,nlk->nil", t, v, t)  # T V T^T, (N, 2, 2)
+    t00 = ja * w[0, 0] + jc0 * w[2, 0]
+    t01 = ja * w[0, 1] + jc0 * w[2, 1]
+    t02 = ja * w[0, 2] + jc0 * w[2, 2]
+    t10 = jb * w[1, 0] + jc1 * w[2, 0]
+    t11 = jb * w[1, 1] + jc1 * w[2, 1]
+    t12 = jb * w[1, 2] + jc1 * w[2, 2]
+    # cov = T V T^T
+    u0 = v00 * t00 + v01 * t01 + v02 * t02
+    u1 = v01 * t00 + v11 * t01 + v12 * t02
+    u2 = v02 * t00 + v12 * t01 + v22 * t02
+    c00 = t00 * u0 + t01 * u1 + t02 * u2
+    c01 = t10 * u0 + t11 * u1 + t12 * u2
+    q0 = v00 * t10 + v01 * t11 + v02 * t12
+    q1 = v01 * t10 + v11 * t11 + v12 * t12
+    q2 = v02 * t10 + v12 * t11 + v22 * t12
+    c11 = t10 * q0 + t11 * q1 + t12 * q2
 
-    return jnp.stack(
-        [cov[:, 0, 0] + COV_BLUR, cov[:, 0, 1], cov[:, 1, 1] + COV_BLUR], axis=-1
-    )
+    return jnp.stack([c00 + COV_BLUR, c01, c11 + COV_BLUR], axis=-1)
 
 
 def cov_to_conic(cov2d: jnp.ndarray) -> jnp.ndarray:
@@ -163,7 +195,17 @@ def project_splats(
     """
     w = viewmat[:3, :3]
     t = viewmat[:3, 3]
-    p_view = means @ w.T + t
+    # Expanded (N,3) @ (3,3): a K=3 matmul pads to a 128-wide MXU tile; three
+    # fused multiply-adds on the VPU are faster and fuse with the rest.
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    p_view = jnp.stack(
+        [
+            mx * w[0, 0] + my * w[0, 1] + mz * w[0, 2] + t[0],
+            mx * w[1, 0] + my * w[1, 1] + mz * w[1, 2] + t[1],
+            mx * w[2, 0] + my * w[2, 1] + mz * w[2, 2] + t[2],
+        ],
+        axis=-1,
+    )
     depth = p_view[:, 2]
 
     visible = depth > NEAR_PLANE_Z

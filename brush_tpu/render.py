@@ -48,11 +48,13 @@ def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
 
     The reference caps its intersection buffer at min(N*tiles, 128*65535)
     because wasm cannot read back the true count (render.rs:199-208); we cap
-    for the same static-shape reason, with a larger default pool (TPU HBM is
-    plentiful and slots are 4 bytes).
+    for the same static-shape reason. Because binning applies the exact tile
+    test *before* expansion (ops/binning.py pretest), the pool only needs to
+    hold exact hits — 8 slots/splat covers typical trained scenes with slack,
+    and every pool-sized op's cost scales with this static size.
     """
     tiles = (-(-int(img_size[0]) // TILE_WIDTH)) * (-(-int(img_size[1]) // TILE_WIDTH))
-    return min(n * tiles, cap)
+    return min(n * 8, n * tiles, cap)
 
 
 def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
@@ -132,8 +134,13 @@ def render_splats(
     if xy_dummy is not None:
         xy = xy + xy_dummy
 
-    # Differentiable gathers into depth-compact order: cotangents scatter
-    # back to global splat indices automatically.
+    # Differentiable gather into depth-compact order: cotangents scatter
+    # back to global splat indices automatically. One fused (N, 9) row
+    # gather — TPU gathers cost per *index*, not per byte, so four separate
+    # gathers would cost 4x.
+    attrs = jnp.concatenate(
+        [xy, proj.conic, color, opac[:, None]], axis=1
+    )[order]
     num_tiles = tiles_x * tiles_y
     if backend == "pallas":
         from brush_tpu.ops.pallas.raster_vjp import make_pallas_rasterizer
@@ -143,7 +150,7 @@ def render_splats(
         raster = make_rasterizer(tiles_x, num_tiles, max_isects, block_size)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles = raster(
-        xy[order], proj.conic[order], color[order], opac[order],
+        attrs[:, 0:2], attrs[:, 2:5], attrs[:, 5:8], attrs[:, 8],
         isect.isect_gid, isect.starts, isect.ends, tile_ids,
     )
     img = assemble_image(img_tiles, img_size, tiles_x, tiles_y)
