@@ -233,6 +233,7 @@ class Intersections(NamedTuple):
     ends: jnp.ndarray         # (num_tiles,) range end per tile (exclusive)
     num_visible: jnp.ndarray  # () int32
     num_isects: jnp.ndarray   # () int32 (records surviving the exact test)
+    producing: jnp.ndarray    # (N,) bool, global order: emits >=1 record
 
 
 def build_intersections(
@@ -351,6 +352,7 @@ def build_intersections(
             ends=tile_bins[1:],
             num_visible=num_visible,
             num_isects=num_isects,
+            producing=producing,
         )
 
     # --- aligned re-layout, gather-free ---
@@ -395,4 +397,5 @@ def build_intersections(
         ends=ends,
         num_visible=num_visible,
         num_isects=num_isects,
+        producing=producing,
     )

@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from brush_tpu.constants import ALPHA_EPS, ALPHA_MAX, TILE_SIZE, TILE_WIDTH
 from brush_tpu.ops.pallas.rasterize_fwd import (
+    LANE_ALIGN,
     PACK_ROWS,
     _cumsum_lanes,
     _pixel_basis,
@@ -46,10 +47,11 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
     def kernel(starts_ref, ends_ref, tile_ids_ref,
                packed_hbm, vout_ref, logt_ref, fidx_ref,
                grads_hbm,
-               buf, gbuf, in_sem, out_sem):
+               buf, gbuf, mbuf, in_sem, out_sem, m_sem):
         t = pl.program_id(0)
-        start = pl.multiple_of(starts_ref[t], k_lanes)
+        start = starts_ref[t]
         end = ends_ref[t]
+        base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
         a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x)
         # Pixel moment basis W: (P, 8) = [1, px, py, px^2, py^2, px*py, 0, 0].
         px = a_p[:, 3:4]
@@ -67,11 +69,13 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
         t_final = jnp.exp(log_t_final)
         fidx = fidx_ref[0]                   # (P, 1) int32
 
-        num_batches = pl.cdiv(jnp.maximum(end - start, 0), k_lanes)
+        num_batches = jnp.where(
+            end > start, pl.cdiv(end - base, k_lanes), 0
+        )
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
 
         def dma_in(slot, b):
-            off = start + b * k_lanes
+            off = base + b * k_lanes
             return pltpu.make_async_copy(
                 packed_hbm.at[:, pl.ds(off, k_lanes)],
                 buf.at[slot],
@@ -92,9 +96,9 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             dma_in(b % 2, b).wait()
             blk = buf[b % 2]
 
-            off = start + b * k_lanes
+            off = base + b * k_lanes
             isect_idx = off + lane_idx
-            lane_ok = isect_idx < end
+            lane_ok = (isect_idx >= start) & (isect_idx < end)
 
             b_s = _splat_basis(blk, cx_t, cy_t)
             sigma = jnp.dot(a_p, b_s, preferred_element_type=jnp.float32,
@@ -176,11 +180,29 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             g_opac = jnp.sum(vis * v_alpha * actf, axis=0, keepdims=True)
 
             pad = jnp.zeros((GRAD_ROWS - 9, k_lanes), jnp.float32)
-            gbuf[:, :] = jnp.concatenate(
+            vals = jnp.concatenate(
                 [g_xy_x, g_xy_y, g_con_a, g_con_b, g_con_c,
                  g_col_r, g_col_g, g_col_b, g_opac, pad],
                 axis=0,
             )
+
+            # Leading-boundary merge: the batch containing `start` (b == 0,
+            # processed last in this back-to-front sweep) shares its window
+            # with the previous tile's tail records, already written in an
+            # earlier grid step — read them back and preserve lanes < start.
+            # (Writes are synchronous and the grid is sequential, so the
+            # read can't race. Trailing lanes >= end write zeros into the
+            # NEXT tile's head; that tile runs later and overwrites them.)
+            @pl.when(b == 0)
+            def _():
+                rd = pltpu.make_async_copy(
+                    grads_hbm.at[:, pl.ds(off, k_lanes)], mbuf, m_sem
+                )
+                rd.start()
+                rd.wait()
+
+            keep_prev = isect_idx < start  # only possible in batch 0
+            gbuf[:, :] = jnp.where(keep_prev, mbuf[:, :], vals)
             out_dma = pltpu.make_async_copy(
                 gbuf, grads_hbm.at[:, pl.ds(off, k_lanes)], out_sem
             )
@@ -236,7 +258,9 @@ def rasterize_bwd_pallas(
         scratch_shapes=[
             pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.float32),
             pltpu.VMEM((GRAD_ROWS, k_lanes), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, k_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

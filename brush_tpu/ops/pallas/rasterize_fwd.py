@@ -39,6 +39,7 @@ from brush_tpu.constants import ALPHA_EPS, ALPHA_MAX, TILE_SIZE, TILE_WIDTH, TRA
 
 LOG_T_EPS = math.log(TRANSMITTANCE_EPS)
 PACK_ROWS = 16  # x, y, cx, cy, cz, r, g, b, opac, 7 padding rows
+LANE_ALIGN = 128  # HBM DMA windows snap down to this lane boundary
 
 
 def pack_isect_splats(xy, conic, color, opac, isect_gid, max_isects: int,
@@ -127,17 +128,20 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
                img_ref, logt_ref, fidx_ref,
                buf, sem):
         t = pl.program_id(0)
-        # Tile ranges are align=k_lanes aligned (ops/binning.py) — required
-        # so HBM DMA windows sit on lane-tiling boundaries.
-        start = pl.multiple_of(starts_ref[t], k_lanes)
+        # Tile ranges are arbitrary (unaligned tile_bins); DMA windows snap
+        # down to the lane-tiling boundary and masks cut the leading lanes.
+        start = starts_ref[t]
         end = ends_ref[t]
+        base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
         a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x)
 
-        num_batches = pl.cdiv(jnp.maximum(end - start, 0), k_lanes)
+        num_batches = jnp.where(
+            end > start, pl.cdiv(end - base, k_lanes), 0
+        )
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
 
         def dma(slot, b):
-            off = start + b * k_lanes
+            off = base + b * k_lanes
             return pltpu.make_async_copy(
                 packed_hbm.at[:, pl.ds(off, k_lanes)],
                 buf.at[slot],
@@ -158,9 +162,9 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             dma(b % n_buf, b).wait()
             blk = buf[b % n_buf]  # (16, K)
 
-            off = start + b * k_lanes
+            off = base + b * k_lanes
             isect_idx = off + lane_idx                       # (1, K)
-            lane_ok = isect_idx < end
+            lane_ok = (isect_idx >= start) & (isect_idx < end)
 
             b_s = _splat_basis(blk, cx_t, cy_t)              # (8, K)
             sigma = jnp.dot(

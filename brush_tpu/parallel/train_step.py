@@ -157,10 +157,10 @@ def make_sharded_train_step(
                 loss = l1 * (1.0 - config.ssim_weight) - ssim_val * config.ssim_weight
             else:
                 loss = l1
-            return loss, (isect.num_visible, isect.num_isects, order)
+            return loss, (isect.num_visible, isect.num_isects, isect.producing)
 
         xy_dummy_l = jnp.zeros((rows_per, 2), jnp.float32)
-        (loss, (num_visible, num_isects, order)), (pgrads, xy_grads) = (
+        (loss, (num_visible, num_isects, producing)), (pgrads, xy_grads) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, xy_dummy_l
             )
@@ -170,8 +170,7 @@ def make_sharded_train_step(
         gate = (step_idx > config.warmup_steps).astype(jnp.float32)
         xys_scaled = xy_grads * jnp.asarray([w / 2.0, h / 2.0], jnp.float32)
         norms = jnp.sqrt(jnp.sum(xys_scaled**2, axis=1))
-        seen = (jnp.arange(capacity) < num_visible).astype(jnp.int32)
-        counts_inc_f = jnp.zeros((capacity,), jnp.int32).at[order].add(seen)
+        counts_inc_f = producing.astype(jnp.int32)
         counts_inc_l = jax.lax.dynamic_slice(
             counts_inc_f, (d * rows_per,), (rows_per,)
         )

@@ -2,16 +2,22 @@
 
 Stages (mirroring render.rs:55-323 with TPU-native mechanics):
   1. project all splats densely with a validity mask       (ProjectSplats)
-  2. depth ordering via one sort over the padded array     (DepthSort)
+  2. exact per-tile pretest -> 64-bit coverage bitmasks    (ProjectVisible's
+     tile-count loop; ops/binning.py pretest)
   3. SH color + opacity for all splats                     (ProjectVisible)
-  4. static-pool intersection expansion + tile sort + bins (MapGaussians...,
-     TileSort, GetTileBinEdges — see ops/binning.py)
-  5. tiled rasterization with custom VJP                   (Rasterize /
-     RasterizeBackwards — see ops/rasterize_tiled.py)
+  4. depth ordering: ONE variadic sort on bitcast-u32 depth keys carrying
+     every per-splat attribute as payload                  (DepthSort)
+  5. record pipeline: Pallas one-hot expansion + variadic tile sort +
+     Pallas tile rasterizer with custom VJP                (MapGaussians...,
+     TileSort, GetTileBinEdges, Rasterize/RasterizeBackwards —
+     see ops/pallas/)
 
-Differentiation: stages 1 and 3 are plain traced JAX (autodiff replaces the
-hand-written project_backwards.wgsl / gather_grads.wgsl VJPs); stage 4 is
-integer bookkeeping under stop_gradient; stage 5 carries the custom VJP.
+On CPU (and as the correctness oracle for the kernels) the same records are
+built by the XLA path: ops/binning.py + ops/rasterize_tiled.py.
+
+Differentiation: stages 1-4 are plain traced JAX (autodiff replaces the
+hand-written project_backwards.wgsl / gather_grads.wgsl VJPs); stage 5
+carries the custom VJP.
 
 The reference threads a zero "xys_dummy" parameter through its autodiff op
 so screen-space gradients surface for densification (gaussian_splats.rs:32,
@@ -27,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from brush_tpu.constants import TILE_WIDTH, sh_degree_from_coeffs
-from brush_tpu.ops.binning import build_intersections
+from brush_tpu.ops.binning import build_intersections, precompute_tile_masks
 from brush_tpu.ops.projection import project_splats
 from brush_tpu.ops.rasterize_reference import CameraParams
 from brush_tpu.ops.rasterize_tiled import assemble_image, make_rasterizer
@@ -41,6 +47,7 @@ class RenderAux(NamedTuple):
     num_isects: jnp.ndarray    # () int32
     visible: jnp.ndarray       # (N,) bool, global order
     order: jnp.ndarray         # (N,) depth order: compact -> global id
+    producing: jnp.ndarray     # (N,) bool, global order: emits >=1 record
 
 
 def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
@@ -68,6 +75,97 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
     return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16) | (q[..., 3] << 24)
 
 
+def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
+                   max_isects, k_lanes, interpret):
+    """TPU record pipeline: depth payload-sort + expand kernel + rasterize.
+
+    xy/conic/color/opac are differentiable; proj/masks are stop-gradient
+    integer bookkeeping (depth keys, tile bboxes, coverage bitmasks).
+    """
+    from brush_tpu.ops.pallas.expand import WINDOW_ALIGN
+    from brush_tpu.ops.pallas.raster_vjp import make_pallas_pipeline
+
+    n = xy.shape[0]
+    num_tiles = tiles_x * tiles_y
+    k_exp = 512
+    window = k_exp + 2 * WINDOW_ALIGN
+    n_pad = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window
+    num_blocks = max_isects // k_exp
+
+    producing = proj.visible & (masks.counts > 0)
+    counts_g = jnp.where(producing, masks.counts, 0)
+
+    # Depth sort with every per-splat quantity as payload: one variadic
+    # sort replaces a dozen per-attribute gathers (TPU gathers cost ~20ns
+    # per index; sort payloads ride the comparison network for ~1/10th).
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.maximum(proj.depth, 1e-20), jnp.uint32
+    )
+    depth_key = jnp.where(producing, depth_bits, jnp.uint32(0xFFFFFFFF))
+
+    f32 = lambda v: v.astype(jnp.float32)
+    m_lo = masks.mask_lo
+    m_hi = masks.mask_hi
+    ops = jax.lax.sort(
+        (
+            depth_key,
+            # 9 differentiable raster attributes
+            xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+            color[:, 0], color[:, 1], color[:, 2], opac,
+            # decode ints (exact small ints as f32)
+            f32(proj.tile_min[:, 0]), f32(proj.tile_min[:, 1]),
+            f32(jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)),
+            f32(m_lo & 0xFFFF), f32(m_lo >> 16),
+            f32(m_hi & 0xFFFF), f32(m_hi >> 16),
+            f32(masks.pc_pack & 0xFFFF), f32(masks.pc_pack >> 16),
+            f32(masks.small),
+            counts_g,
+            jnp.arange(n, dtype=jnp.int32),
+        ),
+        num_keys=1,
+        is_stable=True,
+    )
+    attrs9 = jnp.stack(ops[1:10], axis=0)                     # (9, n)
+    order = ops[21]
+
+    counts_c = ops[20]
+    cum = jnp.cumsum(counts_c)
+    offsets = cum - counts_c
+    total = cum[-1:]
+
+    decode = jnp.stack(
+        [ops[10], ops[11], ops[12], ops[13], ops[14], ops[15], ops[16],
+         ops[17], ops[18], ops[19], f32(offsets),
+         jnp.arange(n, dtype=jnp.float32)],
+        axis=0,
+    )  # (12, n): tminx tminy w m0lo m0hi m1lo m1hi pclo pchi small off gid
+    decode = jax.lax.stop_gradient(decode)
+
+    # Slot -> compact splat id: one scatter-add at segment starts + cumsum
+    # (producing splats are the depth-order prefix, so the running count of
+    # starts IS the compact splat index). The expand kernel turns this into
+    # its one-hot selector with a single compare.
+    scatter_idx = jnp.where(counts_c > 0, offsets, max_isects)
+    marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].add(
+        1, mode="drop"
+    )
+    splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
+    s_lo = (splat_c[::k_exp] // WINDOW_ALIGN) * WINDOW_ALIGN
+    s_lo = jnp.clip(s_lo, 0, n_pad - window)
+
+    raster = make_pallas_pipeline(
+        tiles_x, num_tiles, max_isects, n, k_lanes=k_lanes, k_exp=k_exp,
+        interpret=interpret,
+    )
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    img_tiles = raster(
+        attrs9, decode, splat_c[None, :], s_lo, total.astype(jnp.int32),
+        tile_ids,
+    )
+    num_isects = jnp.minimum(total[0], max_isects).astype(jnp.int32)
+    return img_tiles, order, num_isects, producing
+
+
 def render_splats(
     means: jnp.ndarray,
     log_scales: jnp.ndarray,
@@ -86,7 +184,8 @@ def render_splats(
 
     quats are normalized internally (gaussian_splats.rs:174-175).
     backend: "xla" (lockstep while_loop implementation), "pallas" (TPU
-    kernels), or "auto" (pallas on TPU-like platforms, xla on CPU).
+    kernels; interpret mode on CPU), or "auto" (pallas on TPU-like
+    platforms, xla on CPU).
     """
     n = means.shape[0]
     w, h = int(img_size[0]), int(img_size[1])
@@ -98,10 +197,10 @@ def render_splats(
         max_isects = default_max_isects(n, img_size)
     if backend == "pallas":
         k_lanes = max(128, block_size)
-        max_isects = -(-max_isects // k_lanes) * k_lanes
-        align = k_lanes
+        k_align = max(k_lanes, 512)  # pool must tile both k_lanes and k_exp
+        max_isects = -(-max_isects // k_align) * k_align
     else:
-        align = 1
+        k_lanes = block_size
 
     quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
 
@@ -120,19 +219,39 @@ def render_splats(
     color = sh_to_color(sh_degree, viewdir, sh_coeffs)
     opac = jax.nn.sigmoid(raw_opacity)
 
-    # Integer index bookkeeping — no gradients flow through it.
+    xy = proj.xy
+    if xy_dummy is not None:
+        xy = xy + xy_dummy
+
+    num_tiles = tiles_x * tiles_y
+    if backend == "pallas":
+        proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
+        masks = precompute_tile_masks(proj_sg, jax.lax.stop_gradient(opac))
+        img_tiles, order, num_isects, producing = _render_pallas(
+            xy, proj.conic, color, opac, proj_sg, masks, tiles_x, tiles_y,
+            max_isects, k_lanes,
+            interpret=jax.default_backend() == "cpu",
+        )
+        num_visible = jnp.sum(proj.visible).astype(jnp.int32)
+        aux = RenderAux(
+            num_visible=num_visible,
+            num_isects=num_isects,
+            visible=proj.visible,
+            order=order,
+            producing=producing,
+        )
+        img = assemble_image(img_tiles, img_size, tiles_x, tiles_y)
+        return img, aux
+
+    # ---- XLA path (CPU correctness/fallback) ----
     isect = build_intersections(
         jax.tree_util.tree_map(jax.lax.stop_gradient, proj),
         jax.lax.stop_gradient(opac),
         (tiles_x, tiles_y),
         max_isects,
-        align=align,
+        align=1,
     )
     order = isect.order
-
-    xy = proj.xy
-    if xy_dummy is not None:
-        xy = xy + xy_dummy
 
     # Differentiable gather into depth-compact order: cotangents scatter
     # back to global splat indices automatically. One fused (N, 9) row
@@ -141,13 +260,7 @@ def render_splats(
     attrs = jnp.concatenate(
         [xy, proj.conic, color, opac[:, None]], axis=1
     )[order]
-    num_tiles = tiles_x * tiles_y
-    if backend == "pallas":
-        from brush_tpu.ops.pallas.raster_vjp import make_pallas_rasterizer
-
-        raster = make_pallas_rasterizer(tiles_x, num_tiles, max_isects, k_lanes)
-    else:
-        raster = make_rasterizer(tiles_x, num_tiles, max_isects, block_size)
+    raster = make_rasterizer(tiles_x, num_tiles, max_isects, block_size)
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles = raster(
         attrs[:, 0:2], attrs[:, 2:5], attrs[:, 5:8], attrs[:, 8],
@@ -160,5 +273,6 @@ def render_splats(
         num_isects=isect.num_isects,
         visible=proj.visible,
         order=order,
+        producing=isect.producing,
     )
     return img, aux

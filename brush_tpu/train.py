@@ -204,8 +204,10 @@ class SplatTrainer:
             gate = (step > cfg.warmup_steps).astype(jnp.float32)
             xys_scaled = xy_grads * jnp.asarray([w / 2.0, h / 2.0], jnp.float32)
             norms = jnp.sqrt(jnp.sum(xys_scaled**2, axis=1))
-            seen = (jnp.arange(capacity) < aux.num_visible).astype(jnp.int32)
-            counts_inc = jnp.zeros((capacity,), jnp.int32).at[aux.order].add(seen)
+            # "Seen" = emitted at least one intersection record this frame
+            # (the reference counts its compacted visible set the same way,
+            # train.rs:300-310) — a direct mask, no scatter needed.
+            counts_inc = aux.producing.astype(jnp.int32)
             grad_accum = state.grad_2d_accum + gate * norms
             counts = state.xy_grad_counts + (gate.astype(jnp.int32) * counts_inc)
 

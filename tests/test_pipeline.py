@@ -1,0 +1,113 @@
+"""The pallas record pipeline (expand kernel + payload sort + rasterizer)
+must reproduce the XLA path bit-for-bit-ish on CPU (interpret mode).
+
+The XLA path (ops/binning.py + ops/rasterize_tiled.py) is itself validated
+against the dense oracle and the reference's semantics in test_render_tiled;
+this locks the TPU pipeline to it, forward and backward.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from brush_tpu import splats as sp
+from brush_tpu.camera import Camera
+from brush_tpu.ops.rasterize_reference import camera_params
+from brush_tpu.render import render_splats
+
+
+def _scene(n=300, seed=0, capacity=None):
+    rng = np.random.default_rng(seed)
+    model = sp.from_random(rng, [-2, -2, -2], [2, 2, 2], count=n, sh_degree=1,
+                           capacity=capacity)
+    cam = Camera(position=[0, 0, -6.0], rotation=[1, 0, 0, 0],
+                 fov_x=np.pi / 3, fov_y=np.pi / 3)
+    return model, cam
+
+
+def _render(model, cam, img_size, backend, **kw):
+    cp = camera_params(cam, img_size)
+    return render_splats(
+        model.means, model.log_scales, model.quats, model.sh_coeffs,
+        model.raw_opacity, cp, img_size, active=model.active_mask(),
+        backend=backend, **kw,
+    )
+
+
+@pytest.mark.parametrize("img_size", [(64, 48), (48, 64)])
+def test_pipeline_matches_xla_forward(img_size):
+    model, cam = _scene()
+    img_x, aux_x = _render(model, cam, img_size, "xla", block_size=32,
+                           max_isects=2048)
+    img_p, aux_p = _render(model, cam, img_size, "pallas", block_size=128,
+                           max_isects=2048)
+    assert int(aux_x.num_isects) == int(aux_p.num_isects)
+    assert int(aux_x.num_visible) == int(aux_p.num_visible)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               atol=2e-6, rtol=0)
+
+
+def test_pipeline_matches_xla_grads():
+    model, cam = _scene()
+    img_size = (64, 48)
+    cp = camera_params(cam, img_size)
+    tgt = np.zeros((48, 64, 4), np.float32)
+
+    def loss(backend, block):
+        def f(means, log_scales, quats, sh, opac):
+            img, _ = render_splats(
+                means, log_scales, quats, sh, opac, cp, img_size,
+                active=model.active_mask(), backend=backend,
+                block_size=block, max_isects=2048,
+            )
+            return jnp.sum((img - tgt) ** 2)
+        return f
+
+    args = (model.means, model.log_scales, model.quats, model.sh_coeffs,
+            model.raw_opacity)
+    g_p = jax.grad(loss("pallas", 128), argnums=(0, 1, 2, 3, 4))(*args)
+    g_x = jax.grad(loss("xla", 32), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_p, g_x):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=3e-5 * scale, rtol=0)
+
+
+def test_pipeline_pool_overflow_drops_tail():
+    # A pool smaller than the true record count must not crash or produce
+    # non-finite output (the reference clamps its intersection buffer too,
+    # render.rs:199-208).
+    model, cam = _scene(n=500, seed=3)
+    img, aux = _render(model, cam, (64, 64), "pallas", block_size=128,
+                       max_isects=512)
+    assert int(aux.num_isects) == 512
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_pipeline_empty_scene():
+    model, cam = _scene(n=4)
+    model = model.replace(means=model.means + 100.0)  # everything off-screen
+    img, aux = _render(model, cam, (32, 32), "pallas", block_size=128,
+                       max_isects=512)
+    assert int(aux.num_isects) == 0
+    np.testing.assert_allclose(np.asarray(img), 0.0, atol=1e-7)
+
+
+def test_pipeline_padding_rows_get_zero_grads():
+    model, cam = _scene(n=64, capacity=128)
+    img_size = (32, 32)
+    cp = camera_params(cam, img_size)
+
+    def f(means):
+        img, _ = render_splats(
+            means, model.log_scales, model.quats, model.sh_coeffs,
+            model.raw_opacity, cp, img_size, active=model.active_mask(),
+            backend="pallas", block_size=128, max_isects=1024,
+        )
+        return jnp.sum(img ** 2)
+
+    g = np.asarray(jax.grad(f)(model.means))
+    assert np.isfinite(g).all()
+    assert np.abs(g[64:]).max() == 0.0
