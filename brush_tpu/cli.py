@@ -202,8 +202,83 @@ def cmd_render(args):
     print(f"wrote {args.out}")
 
 
+def cmd_train2d(args):
+    """Fit gaussians to one image with a fixed camera (reference: the
+    train-2d toy crate, train-2d/src/main.rs:36-92,185-222)."""
+    import numpy as np
+    from PIL import Image
+
+    from brush_tpu.camera import Camera, focal_to_fov
+    from brush_tpu.config import TrainConfig
+    from brush_tpu.eval import eval_view
+    from brush_tpu.splats import from_random
+    from brush_tpu.train import SceneBatch, SplatTrainer
+
+    img = Image.open(args.image).convert("RGB")
+    if args.size:
+        img = img.resize((args.size, args.size))
+    target = np.asarray(img, np.float32) / 255.0
+    h, w = target.shape[:2]
+
+    # train-2d/main.rs:219-222: warmup 100, refine forever, no alpha reset.
+    config = TrainConfig(
+        warmup_steps=100, max_refine_step=10**9,
+        reset_alpha_every_refine=10**9, refine_every=args.refine_every,
+        lr_mean=1.5e-4, lr_mean_decay_target=1.0,
+        scale_mean_lr_by_extent=False,
+    )
+    fov = focal_to_fov(float(max(w, h)), max(w, h))
+    cam = Camera(position=[0, 0, -8.0], rotation=[1, 0, 0, 0],
+                 fov_x=fov, fov_y=fov)
+    rng = np.random.default_rng(config.seed)
+    splats = from_random(rng, [-2.5, -2.5, -2.5], [2.5, 2.5, 2.5],
+                         count=args.init_count, sh_degree=0)
+    trainer = SplatTrainer(config, raster_block_size=args.block_size)
+    state = trainer.init_state(splats)
+    batch = SceneBatch(gt_image=target, camera=cam, scene_extent=1.0)
+
+    t0 = time.time()
+    for step in range(args.iters):
+        state, stats = trainer.step(state, batch)
+        if step % args.log_every == 0:
+            print(f"step {step:5d} loss {float(stats.loss):.5f} "
+                  f"splats {int(state.splats.n_live)} "
+                  f"({(step + 1) / (time.time() - t0):.1f} it/s)")
+
+    ev = eval_view(state.splats, cam, target, block_size=args.block_size)
+    print(f"final PSNR {ev.psnr:.2f} SSIM {ev.ssim:.4f} "
+          f"splats {int(state.splats.n_live)}")
+    if args.out:
+        from brush_tpu.ops.rasterize_reference import camera_params
+        from brush_tpu.render import render_splats
+
+        s = state.splats
+        cp = camera_params(cam, (w, h))
+        img_r, _ = render_splats(
+            s.means, s.log_scales, s.quats, s.sh_coeffs, s.raw_opacity,
+            cp, (w, h), active=s.active_mask(), block_size=args.block_size,
+        )
+        rgba = np.clip(np.asarray(img_r) * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(rgba, "RGBA").save(args.out)
+        print(f"wrote {args.out}")
+
+
+def cmd_view(args):
+    from brush_tpu.viewer import run_viewer
+
+    run_viewer(
+        source=args.source, ply=args.ply, train=not args.no_train,
+        port=args.port, sh_degree=args.sh_degree,
+        init_count=args.init_count, block_size=args.block_size,
+        max_resolution=args.max_resolution,
+        eval_split_every=args.eval_split_every,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="brush_tpu")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu, tpu)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     t = sub.add_parser("train", help="train a splat model on a dataset")
@@ -242,7 +317,34 @@ def main(argv=None):
     r.add_argument("--block-size", type=int, default=256)
     r.set_defaults(fn=cmd_render)
 
+    v = sub.add_parser("view", help="live web viewer (optionally training)")
+    v.add_argument("--source", default=None, help="dataset zip or directory")
+    v.add_argument("--ply", default=None, help="view an exported .ply")
+    v.add_argument("--no-train", action="store_true")
+    v.add_argument("--port", type=int, default=8642)
+    v.add_argument("--sh-degree", type=int, default=3)
+    v.add_argument("--init-count", type=int, default=10000)
+    v.add_argument("--block-size", type=int, default=256)
+    v.add_argument("--max-resolution", type=int, default=None)
+    v.add_argument("--eval-split-every", type=int, default=None)
+    v.set_defaults(fn=cmd_view)
+
+    t2 = sub.add_parser("train2d", help="toy: fit gaussians to one image")
+    t2.add_argument("--image", required=True)
+    t2.add_argument("--size", type=int, default=None, help="resize square")
+    t2.add_argument("--iters", type=int, default=2000)
+    t2.add_argument("--init-count", type=int, default=32)
+    t2.add_argument("--refine-every", type=int, default=150)
+    t2.add_argument("--block-size", type=int, default=64)
+    t2.add_argument("--log-every", type=int, default=50)
+    t2.add_argument("--out", default=None, help="write final render PNG")
+    t2.set_defaults(fn=cmd_train2d)
+
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

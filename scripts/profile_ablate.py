@@ -11,6 +11,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -132,8 +134,10 @@ def build(stage):
 
 
 def main():
-    for stage in ["project", "pretest", "depthsort", "expand", "keysort",
-                  "stack", "full"]:
+    stages = sys.argv[1].split(",") if len(sys.argv) > 1 else [
+        "project", "pretest", "depthsort", "expand", "keysort", "stack",
+        "full"]
+    for stage in stages:
         fn, args = build(stage)
         out = fn(*args)
         jax.block_until_ready(out)
