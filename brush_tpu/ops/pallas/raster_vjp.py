@@ -24,12 +24,13 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from brush_tpu.ops.pallas.expand import (
     EXP_IN_ROWS,
-    EXP_OUT_ROWS,
     WINDOW_ALIGN,
     expand_pallas,
 )
@@ -67,8 +68,10 @@ def make_pallas_pipeline(
     slot_bits = 32 - tile_bits if max_isects <= (1 << (32 - tile_bits)) else 0
     assert max_isects % k_exp == 0 and max_isects % k_lanes == 0
 
-    boundaries = (jnp.arange(num_tiles + 1, dtype=jnp.uint32)
-                  << jnp.uint32(slot_bits))
+    # numpy, not jnp: this closure is lru-cached across traces, and a jnp
+    # constant created under one jit trace would leak into the next.
+    boundaries = (np.arange(num_tiles + 1, dtype=np.uint64)
+                  << slot_bits).astype(np.uint32)
 
     window = k_exp + 2 * WINDOW_ALIGN
     n_pad = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window

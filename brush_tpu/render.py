@@ -90,7 +90,6 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
     k_exp = 512
     window = k_exp + 2 * WINDOW_ALIGN
     n_pad = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window
-    num_blocks = max_isects // k_exp
 
     producing = proj.visible & (masks.counts > 0)
     counts_g = jnp.where(producing, masks.counts, 0)
