@@ -26,6 +26,7 @@ from brush_tpu.datasets import colmap as colmap_mod
 from brush_tpu.datasets import nerf as nerf_mod
 from brush_tpu.datasets.scene import (
     Dataset,
+    Scene,
     SceneView,
     clamp_img_to_max_size,
     image_to_array,
@@ -98,7 +99,9 @@ def _join(base: str, rel: str) -> str:
 
 # ----------------------------- NeRF synthetic ----------------------------- #
 
-def _load_nerf_views(src: FileSource, base: str, name: str, args: LoadDatasetArgs):
+def _nerf_view_loader(src: FileSource, base: str, name: str,
+                      args: LoadDatasetArgs):
+    """(load_fn, frames) for one transforms file, or None if absent."""
     path = _join(base, name)
     if not src.exists(path):
         return None
@@ -114,17 +117,19 @@ def _load_nerf_views(src: FileSource, base: str, name: str, args: LoadDatasetArg
         cam = nerf_mod.camera_from_transform(transform, fov_x, w, h)
         return SceneView(name=img_path, camera=cam, image=img)
 
+    return load, frames
+
+
+def _load_nerf_views(src: FileSource, base: str, name: str, args: LoadDatasetArgs):
+    lf = _nerf_view_loader(src, base, name, args)
+    if lf is None:
+        return None
+    load, frames = lf
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 8) as pool:
         return list(pool.map(load, frames))
 
 
-def load_nerf_synthetic(src: FileSource, args: LoadDatasetArgs) -> Dataset:
-    base = src.find_base_path("transforms_train.json")
-    if base is None:
-        raise FileNotFoundError("No transforms file found")
-    train_all = _load_nerf_views(src, base, "transforms_train.json", args)
-    val_views = _load_nerf_views(src, base, "transforms_val.json", args)
-
+def _nerf_split(train_all, val_views, args: LoadDatasetArgs) -> Dataset:
     train_views, eval_views = [], []
     for i, view in enumerate(train_all):
         # Extra eval images only when the dataset has no val split
@@ -142,6 +147,15 @@ def load_nerf_synthetic(src: FileSource, args: LoadDatasetArgs) -> Dataset:
     return Dataset.from_views(train_views, eval_views)
 
 
+def load_nerf_synthetic(src: FileSource, args: LoadDatasetArgs) -> Dataset:
+    base = src.find_base_path("transforms_train.json")
+    if base is None:
+        raise FileNotFoundError("No transforms file found")
+    train_all = _load_nerf_views(src, base, "transforms_train.json", args)
+    val_views = _load_nerf_views(src, base, "transforms_val.json", args)
+    return _nerf_split(train_all, val_views, args)
+
+
 # -------------------------------- COLMAP --------------------------------- #
 
 def _find_colmap(src: FileSource):
@@ -154,7 +168,8 @@ def _find_colmap(src: FileSource):
     raise FileNotFoundError("No COLMAP data found (either text or binary)")
 
 
-def load_colmap(src: FileSource, args: LoadDatasetArgs) -> Dataset:
+def _colmap_view_loader(src: FileSource, args: LoadDatasetArgs):
+    """(load_fn, infos) over the sorted COLMAP image registry."""
     is_binary, base = _find_colmap(src)
     ext = "bin" if is_binary else "txt"
     cams = colmap_mod.read_cameras(
@@ -190,9 +205,10 @@ def load_colmap(src: FileSource, args: LoadDatasetArgs) -> Dataset:
         )
         return SceneView(name=img_path, camera=cam, image=img)
 
-    with ThreadPoolExecutor(max_workers=os.cpu_count() or 8) as pool:
-        views = list(pool.map(load, infos))
+    return load, infos
 
+
+def _colmap_split(views, args: LoadDatasetArgs) -> Dataset:
     train_views, eval_views = [], []
     for i, view in enumerate(views):
         if args.eval_split_every is not None and i % args.eval_split_every == 0:
@@ -200,6 +216,13 @@ def load_colmap(src: FileSource, args: LoadDatasetArgs) -> Dataset:
         else:
             train_views.append(view)
     return Dataset.from_views(train_views, eval_views)
+
+
+def load_colmap(src: FileSource, args: LoadDatasetArgs) -> Dataset:
+    load, infos = _colmap_view_loader(src, args)
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 8) as pool:
+        views = list(pool.map(load, infos))
+    return _colmap_split(views, args)
 
 
 def colmap_quat_to_rotmat(qvec) -> np.ndarray:
@@ -229,6 +252,42 @@ def load_dataset(source, args: LoadDatasetArgs | None = None) -> Dataset:
     except FileNotFoundError:
         pass
     return load_colmap(src, args)
+
+
+def load_dataset_stream(source, args: LoadDatasetArgs | None = None,
+                        every: int = 4):
+    """Progressive loading: yields a growing Dataset as views decode.
+
+    The reference streams progressively-growing Dataset messages to the
+    viewer while images decode in parallel threads (formats/mod.rs:16,
+    stream_fut_parallel lib.rs:99-124): consumers (the live viewer) can
+    start training on a partial scene. Intermediate yields contain only the
+    train split; the final yield equals load_dataset(...).
+    """
+    args = args or LoadDatasetArgs()
+    src = source if isinstance(source, FileSource) else FileSource(source)
+
+    fmt = "nerf"
+    base = src.find_base_path("transforms_train.json")
+    if base is not None:
+        lf = _nerf_view_loader(src, base, "transforms_train.json", args)
+        load, items = lf
+    else:
+        fmt = "colmap"
+        load, items = _colmap_view_loader(src, args)
+
+    views = []
+    with ThreadPoolExecutor(max_workers=os.cpu_count() or 8) as pool:
+        for view in pool.map(load, items):
+            views.append(view)
+            if len(views) % every == 0 and len(views) < len(items):
+                yield Dataset(train=Scene(views=list(views)), eval=None)
+
+    if fmt == "nerf":
+        val_views = _load_nerf_views(src, base, "transforms_val.json", args)
+        yield _nerf_split(views, val_views, args)
+    else:
+        yield _colmap_split(views, args)
 
 
 def load_initial_splats(source, sh_degree: int = 3, capacity: int | None = None):

@@ -31,11 +31,14 @@ def main(out="/tmp/synth_scene.zip", n_views=24, size=128, n_splats=80,
     )
 
     frames = []
+    val_frames = []
     buf = io.BytesIO()
     fov = 0.9
     with zipfile.ZipFile(buf, "w") as zf:
-        for i in range(n_views):
-            theta = 2 * np.pi * i / n_views
+        for i in range(n_views + 4):
+            split = "val" if i >= n_views else "train"
+            theta = (2 * np.pi * i / n_views if split == "train"
+                     else 2 * np.pi * (i - n_views + 0.37) / 4)
             elev = 0.35 * np.sin(3 * theta)
             pos = 4.0 * np.array([
                 np.sin(theta) * np.cos(elev), np.sin(elev),
@@ -56,17 +59,20 @@ def main(out="/tmp/synth_scene.zip", n_views=24, size=128, n_splats=80,
             u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
             pb = io.BytesIO()
             Image.fromarray(u8, "RGBA").save(pb, format="PNG")
-            zf.writestr(f"synth/train/r_{i}.png", pb.getvalue())
+            zf.writestr(f"synth/{split}/r_{i}.png", pb.getvalue())
 
             # NeRF transforms store OpenGL-style c2w (-Z forward, +Y up);
             # the loader swaps back (nerf_synthetic.rs:56-66).
             c2w = np.eye(4)
             c2w[:3, :3] = r @ np.diag([1.0, -1.0, -1.0])
             c2w[:3, 3] = pos
-            frames.append({"file_path": f"./train/r_{i}",
-                           "transform_matrix": c2w.tolist()})
+            (frames if split == "train" else val_frames).append(
+                {"file_path": f"./{split}/r_{i}",
+                 "transform_matrix": c2w.tolist()})
         zf.writestr("synth/transforms_train.json",
                     json.dumps({"camera_angle_x": fov, "frames": frames}))
+        zf.writestr("synth/transforms_val.json",
+                    json.dumps({"camera_angle_x": fov, "frames": val_frames}))
     with open(out, "wb") as f:
         f.write(buf.getvalue())
     print(f"wrote {out}: {n_views} views {size}x{size}, {n_splats} splats")
