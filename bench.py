@@ -47,7 +47,7 @@ def main():
     def forward(means, log_scales, quats, sh_coeffs, raw_opacity):
         img, aux = render_splats(
             means, log_scales, quats, sh_coeffs, raw_opacity,
-            cp, img_size, block_size=256, max_isects=3 << 20,
+            cp, img_size, block_size=512, max_isects=3 << 20,
         )
         return img, aux.num_isects
 

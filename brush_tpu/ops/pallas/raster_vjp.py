@@ -1,23 +1,31 @@
-"""Custom-VJP TPU record pipeline: expand -> sort -> rasterize (fwd + bwd).
+"""Custom-VJP TPU record pipeline: sort -> expand -> sort -> rasterize.
 
-The forward runs the three pool-scale stages the reference implements as
-MapGaussiansToIntersect + TileSort + Rasterize (render.rs:199-307), built
-TPU-shaped:
+The forward runs the reference's DepthSort + MapGaussiansToIntersect +
+TileSort + Rasterize chain (render.rs:151-307) built TPU-shaped, entirely
+inside one custom-VJP boundary (autodiff never sees the sorts — JAX's
+sort transpose would otherwise emit one scatter per payload, ~200ms at 1M
+splats):
 
-  1. expand_pallas: one-hot MXU expansion of depth-ordered splat rows into
-     per-intersection records + packed sort keys (see ops/pallas/expand.py);
-  2. one XLA variadic sort_key_val carrying the 9 raster attributes and the
-     compact splat id as payloads — measured ~3x a key-only sort, vs ~30x
-     for a post-sort row gather or scatter;
-  3. rasterize_fwd_pallas over *unaligned* tile ranges (tile_bins used
-     directly; DMA windows snap down to lane boundaries and masks cut the
-     leading lanes).
+  1. one variadic stable sort on bitcast-u32 depth keys carries the 9
+     raster attributes + decode ints as payloads (payloads cost ~3x a
+     key-only sort; per-attribute gathers cost ~20ns per index);
+  2. expand_pallas: one-hot MXU expansion of the depth-ordered rows into
+     per-intersection records + tile sort keys (ops/pallas/expand.py);
+  3. a second variadic sort groups records by tile, carrying the record
+     attributes and the expansion slot id;
+  4. rasterize_fwd_pallas over *unaligned* tile ranges (tile_bins used
+     directly; DMA windows snap down to lane boundaries).
 
-Backward: rasterize_bwd_pallas writes per-intersection gradient records to
-the same unaligned layout (leading-boundary read-merge keeps neighbouring
-tiles' records intact), then ONE fused XLA scatter-add by compact splat id
-reduces them to per-splat gradients (replacing the reference's global
-atomics, rasterize_backwards.wgsl:47-135).
+Backward:
+  1. rasterize_bwd_pallas emits per-record gradient rows in tile order;
+  2. a variadic sort on the carried slot ids restores slot order — where
+     records of one splat are contiguous by construction;
+  3. segment_sum_pallas reduces them per splat with one-hot MXU products
+     (ops/pallas/segsum.py) — replacing both the reference's global float
+     atomics (rasterize_backwards.wgsl:47-135) and an XLA scatter-add
+     (~100ns/index at pool scale);
+  4. one small key sort inverts the depth permutation and a single row
+     gather returns the per-splat cotangents to global order.
 """
 
 from __future__ import annotations
@@ -40,31 +48,31 @@ from brush_tpu.ops.pallas.rasterize_fwd import (
     pack_isect_splats,
     rasterize_fwd_pallas,
 )
+from brush_tpu.ops.pallas.segsum import SEG_ROWS, segment_sum_pallas
 
 
 @functools.lru_cache(maxsize=32)
 def make_pallas_pipeline(
     tiles_x: int, num_tiles: int, max_isects: int, n: int,
-    k_lanes: int = 256, k_exp: int = 512, interpret: bool = False,
+    k_lanes: int = 512, k_exp: int = 512, interpret: bool = False,
 ):
     """Full record pipeline as one custom-VJP function.
 
-    Returns raster(attrs9, decode, splat_c, s_lo, total, tile_ids) ->
-    img_tiles where
-      attrs9: (9, n) f32, depth-compact order — x, y, cxx, cxy, cyy,
-        r, g, b, opac (differentiable);
-      decode: (12, n) f32 ints — tmin_x, tmin_y, bbox_w, mask halves x4,
-        pc halves x2, small, offset, gid (stop-gradient bookkeeping);
-      splat_c: (1, max_isects) i32 compact splat id per slot (monotone);
-      s_lo: (num_blocks,) i32 aligned splat-window starts;
-      total: (1,) i32 live record count;
+    Returns raster(attrs9, decode, depth_key, tile_ids) ->
+    (img_tiles, order, total) where
+      attrs9: (9, n) f32, GLOBAL order — x, y, cxx, cxy, cyy, r, g, b,
+        opac (differentiable);
+      decode: (11, n) f32 ints, global order — tmin_x, tmin_y, bbox_w,
+        mask halves x4, pc halves x2, small, counts (stop-gradient);
+      depth_key: (n,) uint32 — bitcast depth, 0xFFFFFFFF for non-producing;
       tile_ids: (num_tiles,) i32 tile id per grid step.
+    order/total are integer side outputs (depth permutation, live records).
     """
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     # Pack the slot id into the key's low bits when it fits: depth order
-    # within a tile comes free and the sort needs no stability machinery.
-    # Otherwise sort tile-only keys stably (the expansion emits slots in
-    # depth order, which a stable sort preserves).
+    # within a tile comes free and the backward re-sort key is recovered by
+    # masking. Otherwise sort tile-only keys stably with the slot carried
+    # as a payload.
     slot_bits = 32 - tile_bits if max_isects <= (1 << (32 - tile_bits)) else 0
     assert max_isects % k_exp == 0 and max_isects % k_lanes == 0
 
@@ -76,75 +84,135 @@ def make_pallas_pipeline(
     window = k_exp + 2 * WINDOW_ALIGN
     n_pad = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window
 
-    def _fwd_impl(attrs9, decode, splat_c, s_lo, total, tile_ids):
+    def _fwd_impl(attrs9, decode, depth_key, tile_ids):
+        # --- depth sort, everything as payload (DepthSort) ---
+        ops = jax.lax.sort(
+            (depth_key,)
+            + tuple(attrs9[i] for i in range(9))
+            + tuple(decode[i] for i in range(11))
+            + (jnp.arange(n, dtype=jnp.int32),),
+            num_keys=1, is_stable=True,
+        )
+        order = ops[21]
+        counts_c = ops[20].astype(jnp.int32)
+        cum = jnp.cumsum(counts_c)
+        offsets = cum - counts_c
+        total = jnp.minimum(cum[-1:], max_isects).astype(jnp.int32)
+
         attrs_t = jnp.concatenate(
-            [attrs9, decode,
-             jnp.zeros((EXP_IN_ROWS - 21, n), jnp.float32)], axis=0
+            [
+                jnp.stack(ops[1:20], axis=0),  # 9 attrs + 10 decode rows
+                offsets.astype(jnp.float32)[None],
+                jnp.arange(n, dtype=jnp.float32)[None],  # gid (unused)
+                jnp.zeros((EXP_IN_ROWS - 21, n), jnp.float32),
+            ],
+            axis=0,
         )
         attrs_t = jnp.pad(attrs_t, ((0, 0), (0, n_pad - n)))
 
+        # Slot -> compact splat id: one scatter-add at segment starts +
+        # cumsum (producing splats are the depth-order prefix, so the
+        # running count of starts IS the compact index).
+        scatter_idx = jnp.where(counts_c > 0, offsets, max_isects)
+        marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].add(
+            1, mode="drop"
+        )
+        splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)[None, :]
+        s_lo = (splat_c[0, ::k_exp] // WINDOW_ALIGN) * WINDOW_ALIGN
+        s_lo = jnp.clip(s_lo, 0, n_pad - window)
+
+        # --- expansion (MapGaussiansToIntersect) ---
         keys, recs = expand_pallas(
             attrs_t, splat_c, s_lo, total,
             tiles_x=tiles_x, num_tiles=num_tiles, slot_bits=slot_bits,
             n=n, max_isects=max_isects, k_exp=k_exp, interpret=interpret,
         )
 
-        # One variadic sort groups records by tile (keys pack tile | slot,
-        # so depth order within a tile is free) and carries the payloads.
-        ops = jax.lax.sort(
-            (keys,) + tuple(recs[i] for i in range(10)), num_keys=1,
-            is_stable=slot_bits == 0,
+        # --- tile grouping (TileSort + GetTileBinEdges) ---
+        payload = tuple(recs[i] for i in range(9))
+        if slot_bits == 0:
+            payload = payload + (jnp.arange(max_isects, dtype=jnp.uint32),)
+        sops = jax.lax.sort(
+            (keys,) + payload, num_keys=1, is_stable=slot_bits == 0,
         )
-        skeys = ops[0]
+        skeys = sops[0]
+        if slot_bits == 0:
+            slots_sorted = sops[10]
+        else:
+            slots_sorted = skeys & jnp.uint32((1 << slot_bits) - 1)
         packed = jnp.concatenate(
             [
-                jnp.stack(ops[1:10], axis=0),
+                jnp.stack(sops[1:10], axis=0),
                 jnp.zeros((PACK_ROWS - 9, max_isects), jnp.float32),
             ],
             axis=0,
         )
         packed = jnp.pad(packed, ((0, 0), (0, k_lanes)))
-        gid_sorted = ops[10].astype(jnp.int32)
 
-        tile_bins = jnp.searchsorted(skeys, boundaries).astype(jnp.int32)
+        tile_bins = jnp.searchsorted(skeys, jnp.asarray(boundaries))
+        tile_bins = tile_bins.astype(jnp.int32)
         starts = tile_bins[:-1]
         ends = tile_bins[1:]
 
+        # --- rasterize (Rasterize) ---
         img, log_t, fidx = rasterize_fwd_pallas(
             packed, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=num_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
         )
-        return img, (packed, gid_sorted, starts, ends, log_t, fidx)
+        res = (packed, slots_sorted, starts, ends, tile_ids, log_t, fidx,
+               splat_c, s_lo, total, order)
+        return img, order, total[0], res
 
     @jax.custom_vjp
-    def raster(attrs9, decode, splat_c, s_lo, total, tile_ids):
-        img, _ = _fwd_impl(attrs9, decode, splat_c, s_lo, total, tile_ids)
-        return img
+    def raster(attrs9, decode, depth_key, tile_ids):
+        img, order, total, _ = _fwd_impl(attrs9, decode, depth_key, tile_ids)
+        return img, order, total
 
-    def raster_fwd(attrs9, decode, splat_c, s_lo, total, tile_ids):
-        img, (packed, gid_sorted, starts, ends, log_t, fidx) = _fwd_impl(
-            attrs9, decode, splat_c, s_lo, total, tile_ids
-        )
-        return img, (packed, gid_sorted, starts, ends, tile_ids, log_t, fidx)
+    def raster_fwd(attrs9, decode, depth_key, tile_ids):
+        img, order, total, res = _fwd_impl(attrs9, decode, depth_key, tile_ids)
+        return (img, order, total), res
 
     def raster_bwd(res, g):
-        packed, gid_sorted, starts, ends, tile_ids, log_t, fidx = res
+        (packed, slots_sorted, starts, ends, tile_ids, log_t, fidx,
+         splat_c, s_lo, total, order) = res
+        g_img = g[0]
         grads = rasterize_bwd_pallas(
-            packed, g, log_t, fidx, starts, ends, tile_ids,
+            packed, g_img, log_t, fidx, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=num_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
-        )  # (16, max_isects + k_lanes)
+        )  # (16, max_isects + k_lanes), tile order
 
-        # Records outside every tile range are unwritten garbage, but their
-        # splat id is n (set by the expand kernel / the key sort sentinel),
-        # so they land in the scratch row and are sliced off. ONE fused row
-        # scatter-add — scatters cost per index, so nine separate ones
-        # would cost 9x.
-        recs = grads[:9].T  # (max_isects + k, 9)
-        gid = jnp.pad(gid_sorted, (0, k_lanes), constant_values=n)
-        acc = jnp.zeros((n + 1, 9), jnp.float32).at[gid].add(recs)[:n]
-        return (acc.T, None, None, None, None, None)
+        # --- back to slot order: records of one splat become contiguous ---
+        gops = jax.lax.sort(
+            (slots_sorted,) + tuple(grads[i, :max_isects] for i in range(9)),
+            num_keys=1,
+        )
+        live = jax.lax.broadcasted_iota(
+            jnp.int32, (1, max_isects), 1
+        ) < total[0]
+        grads_slot = jnp.where(
+            live, jnp.stack(gops[1:10], axis=0), 0.0
+        )
+        grads_slot = jnp.concatenate(
+            [grads_slot,
+             jnp.zeros((SEG_ROWS - 9, max_isects), jnp.float32)], axis=0
+        )
+
+        # --- per-splat reduction on the MXU ---
+        per_splat = segment_sum_pallas(
+            grads_slot, splat_c, s_lo, total,
+            n_pad=n_pad, max_isects=max_isects, k_seg=k_exp,
+            interpret=interpret,
+        )  # (16, n_pad), compact order
+
+        # --- compact -> global: invert the depth permutation with one
+        # small key sort + a single row gather ---
+        _, inv = jax.lax.sort_key_val(
+            order, jnp.arange(n, dtype=jnp.int32)
+        )
+        acc = per_splat[:9, :n][:, inv]
+        return (acc, None, None, None)
 
     raster.defvjp(raster_fwd, raster_bwd)
     return raster

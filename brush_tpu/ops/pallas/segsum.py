@@ -1,0 +1,127 @@
+"""Pallas TPU segment-sum kernel: per-record gradient rows -> per-splat sums.
+
+The reference reduces per-intersection gradients with global float atomics
+(rasterize_backwards.wgsl:47-135: subgroup sums + workgroup queues + CAS
+loops). TPU has no atomics, and an XLA scatter-add costs ~100ns per index
+at pool scale — so the reduction is restructured around the same insight as
+the expansion kernel (ops/pallas/expand.py), run in reverse:
+
+once gradient records are ordered by expansion slot, records of one splat
+are contiguous (slots are segment-ordered by construction), so a block of K
+records touches a contiguous window of <= K+1 splats, and the per-splat sums
+are ONE one-hot matmul on the MXU: partial[w] = sum_k grads[:, k] * (splat_k
+== w). Blocks accumulate into an aliased output buffer; the grid is
+sequential and writes are synchronous, so boundary splats shared between
+adjacent blocks read-modify-write without races.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from brush_tpu.ops.pallas.expand import WINDOW_ALIGN
+
+SEG_ROWS = 16  # grad rows carried (9 used; padded for lane tiling)
+
+
+def _make_segsum_kernel(k_seg: int, window: int):
+    def kernel(s_lo_ref, total_ref, grads_hbm, splat_hbm, out_in_hbm,
+               out_hbm,
+               gbuf, sbuf, obuf, sem, osem):
+        b = pl.program_id(0)
+        total = total_ref[0]
+        slot0 = b * k_seg
+
+        @pl.when(slot0 < total)
+        def _():
+            s_al = pl.multiple_of(s_lo_ref[b], WINDOW_ALIGN)
+            gin = pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(slot0, k_seg)], gbuf, sem.at[0]
+            )
+            sin = pltpu.make_async_copy(
+                splat_hbm.at[:, pl.ds(slot0, k_seg)], sbuf, sem.at[1]
+            )
+            oin = pltpu.make_async_copy(
+                out_hbm.at[:, pl.ds(s_al, window)], obuf, sem.at[2]
+            )
+            gin.start(); sin.start(); oin.start()
+            gin.wait(); sin.wait()
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_seg), 1)
+            live = (slot0 + lane) < total                     # (1, K)
+            local = sbuf[:, :] - s_al                         # (1, K)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
+            oh = ((sub == local) & live).astype(jnp.float32)  # (W, K)
+
+            partial = jax.lax.dot_general(
+                gbuf[:, :], oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                 # (16, W)
+
+            oin.wait()
+            obuf[:, :] = obuf[:, :] + partial
+            out = pltpu.make_async_copy(
+                obuf, out_hbm.at[:, pl.ds(s_al, window)], osem
+            )
+            out.start()
+            out.wait()
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pad", "max_isects", "k_seg", "interpret"),
+)
+def segment_sum_pallas(
+    grads, splat_c, s_lo, total,
+    n_pad: int, max_isects: int, k_seg: int = 512, interpret: bool = False,
+):
+    """Sum slot-ordered gradient rows per splat.
+
+    grads: (SEG_ROWS, max_isects) f32, slot order (zeroed beyond `total`).
+    splat_c: (1, max_isects) i32 — compact splat per slot (monotone).
+    s_lo: (num_blocks,) i32 aligned window starts (k_seg blocks).
+    Returns (SEG_ROWS, n_pad) per-compact-splat sums.
+    """
+    assert max_isects % k_seg == 0
+    window = k_seg + 2 * WINDOW_ALIGN
+    assert n_pad % WINDOW_ALIGN == 0 and n_pad >= window
+    num_blocks = max_isects // k_seg
+    assert s_lo.shape == (num_blocks,)
+    assert grads.shape == (SEG_ROWS, max_isects)
+
+    kernel = _make_segsum_kernel(k_seg, window)
+    zeros = jnp.zeros((SEG_ROWS, n_pad), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((SEG_ROWS, k_seg), jnp.float32),
+            pltpu.VMEM((1, k_seg), jnp.int32),
+            pltpu.VMEM((SEG_ROWS, window), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((SEG_ROWS, n_pad), jnp.float32)],
+        input_output_aliases={4: 0},  # indices include the scalar-prefetch args
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(s_lo, total, grads, splat_c, zeros)
+    return out

@@ -77,26 +77,20 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
 
 def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
                    max_isects, k_lanes, interpret):
-    """TPU record pipeline: depth payload-sort + expand kernel + rasterize.
+    """TPU record pipeline (see ops/pallas/raster_vjp.py).
 
     xy/conic/color/opac are differentiable; proj/masks are stop-gradient
-    integer bookkeeping (depth keys, tile bboxes, coverage bitmasks).
+    integer bookkeeping (depth keys, tile bboxes, coverage bitmasks). All
+    sorts/expansions live inside the pipeline's custom VJP.
     """
-    from brush_tpu.ops.pallas.expand import WINDOW_ALIGN
     from brush_tpu.ops.pallas.raster_vjp import make_pallas_pipeline
 
     n = xy.shape[0]
     num_tiles = tiles_x * tiles_y
-    k_exp = 512
-    window = k_exp + 2 * WINDOW_ALIGN
-    n_pad = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window
 
     producing = proj.visible & (masks.counts > 0)
     counts_g = jnp.where(producing, masks.counts, 0)
 
-    # Depth sort with every per-splat quantity as payload: one variadic
-    # sort replaces a dozen per-attribute gathers (TPU gathers cost ~20ns
-    # per index; sort payloads ride the comparison network for ~1/10th).
     depth_bits = jax.lax.bitcast_convert_type(
         jnp.maximum(proj.depth, 1e-20), jnp.uint32
     )
@@ -105,63 +99,27 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
     f32 = lambda v: v.astype(jnp.float32)
     m_lo = masks.mask_lo
     m_hi = masks.mask_hi
-    ops = jax.lax.sort(
-        (
-            depth_key,
-            # 9 differentiable raster attributes
-            xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
-            color[:, 0], color[:, 1], color[:, 2], opac,
-            # decode ints (exact small ints as f32)
-            f32(proj.tile_min[:, 0]), f32(proj.tile_min[:, 1]),
-            f32(jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)),
-            f32(m_lo & 0xFFFF), f32(m_lo >> 16),
-            f32(m_hi & 0xFFFF), f32(m_hi >> 16),
-            f32(masks.pc_pack & 0xFFFF), f32(masks.pc_pack >> 16),
-            f32(masks.small),
-            counts_g,
-            jnp.arange(n, dtype=jnp.int32),
-        ),
-        num_keys=1,
-        is_stable=True,
-    )
-    attrs9 = jnp.stack(ops[1:10], axis=0)                     # (9, n)
-    order = ops[21]
-
-    counts_c = ops[20]
-    cum = jnp.cumsum(counts_c)
-    offsets = cum - counts_c
-    total = cum[-1:]
-
+    attrs9 = jnp.stack(
+        [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+         color[:, 0], color[:, 1], color[:, 2], opac], axis=0,
+    )  # (9, n), global order, differentiable
     decode = jnp.stack(
-        [ops[10], ops[11], ops[12], ops[13], ops[14], ops[15], ops[16],
-         ops[17], ops[18], ops[19], f32(offsets),
-         jnp.arange(n, dtype=jnp.float32)],
-        axis=0,
-    )  # (12, n): tminx tminy w m0lo m0hi m1lo m1hi pclo pchi small off gid
+        [f32(proj.tile_min[:, 0]), f32(proj.tile_min[:, 1]),
+         f32(jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)),
+         f32(m_lo & 0xFFFF), f32(m_lo >> 16),
+         f32(m_hi & 0xFFFF), f32(m_hi >> 16),
+         f32(masks.pc_pack & 0xFFFF), f32(masks.pc_pack >> 16),
+         f32(masks.small), f32(counts_g)], axis=0,
+    )  # (11, n)
     decode = jax.lax.stop_gradient(decode)
 
-    # Slot -> compact splat id: one scatter-add at segment starts + cumsum
-    # (producing splats are the depth-order prefix, so the running count of
-    # starts IS the compact splat index). The expand kernel turns this into
-    # its one-hot selector with a single compare.
-    scatter_idx = jnp.where(counts_c > 0, offsets, max_isects)
-    marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].add(
-        1, mode="drop"
-    )
-    splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
-    s_lo = (splat_c[::k_exp] // WINDOW_ALIGN) * WINDOW_ALIGN
-    s_lo = jnp.clip(s_lo, 0, n_pad - window)
-
     raster = make_pallas_pipeline(
-        tiles_x, num_tiles, max_isects, n, k_lanes=k_lanes, k_exp=k_exp,
+        tiles_x, num_tiles, max_isects, n, k_lanes=k_lanes,
         interpret=interpret,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    img_tiles = raster(
-        attrs9, decode, splat_c[None, :], s_lo, total.astype(jnp.int32),
-        tile_ids,
-    )
-    num_isects = jnp.minimum(total[0], max_isects).astype(jnp.int32)
+    img_tiles, order, total = raster(attrs9, decode, depth_key, tile_ids)
+    num_isects = jnp.minimum(total, max_isects).astype(jnp.int32)
     return img_tiles, order, num_isects, producing
 
 
