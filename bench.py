@@ -29,7 +29,7 @@ def main():
 
     n_splats = 1 << 20
     img_size = (1024, 1024)
-    iters = 4
+    iters = 12
 
     rng = np.random.default_rng(0)
     # Random splats in a box in front of the camera, like render_bench.rs:34.
@@ -58,15 +58,19 @@ def main():
         )
     )
 
-    # Warmup / compile.
+    # Warmup / compile. The device tunnel front-loads multi-second one-time
+    # work onto the first executions, so the metric is the median of
+    # individually synced iterations, not a mean over one batch.
     img, _ = forward(*args)
     img.block_until_ready()
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         img, _ = forward(*args)
-    img.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+        _ = np.asarray(img[:1, :1])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     mpix = img_size[0] * img_size[1] / 1e6
     mpix_per_s = mpix / dt
