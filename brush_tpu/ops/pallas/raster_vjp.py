@@ -54,7 +54,8 @@ from brush_tpu.ops.pallas.segsum import SEG_ROWS, segment_sum_pallas
 @functools.lru_cache(maxsize=32)
 def make_pallas_pipeline(
     tiles_x: int, num_tiles: int, max_isects: int, n: int,
-    k_lanes: int = 512, k_exp: int = 512, interpret: bool = False,
+    k_lanes: int = 512, k_exp: int = 512, raster_tiles: int | None = None,
+    interpret: bool = False,
 ):
     """Full record pipeline as one custom-VJP function.
 
@@ -65,9 +66,14 @@ def make_pallas_pipeline(
       decode: (11, n) f32 ints, global order — tmin_x, tmin_y, bbox_w,
         mask halves x4, pc halves x2, small, counts (stop-gradient);
       depth_key: (n,) uint32 — bitcast depth, 0xFFFFFFFF for non-producing;
-      tile_ids: (num_tiles,) i32 tile id per grid step.
+      tile_ids: (raster_tiles,) i32 tile id per grid step — an ASCENDING
+        strip (ids >= num_tiles render empty tiles). When raster_tiles <
+        num_tiles (tile-sharded rendering), binning covers every tile but
+        only the strip is rasterized, and the backward masks gradient
+        records to the strip's contiguous sorted range.
     order/total are integer side outputs (depth permutation, live records).
     """
+    raster_tiles = num_tiles if raster_tiles is None else raster_tiles
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     # Pack the slot id into the key's low bits when it fits: depth order
     # within a tile comes free and the backward re-sort key is recovered by
@@ -151,13 +157,16 @@ def make_pallas_pipeline(
 
         tile_bins = jnp.searchsorted(skeys, jnp.asarray(boundaries))
         tile_bins = tile_bins.astype(jnp.int32)
-        starts = tile_bins[:-1]
-        ends = tile_bins[1:]
+        # Tile subset: ids past the grid get empty ranges.
+        tid_c = jnp.minimum(tile_ids, num_tiles)
+        starts = tile_bins[tid_c]
+        ends = jnp.where(tile_ids < num_tiles, tile_bins[tid_c + 1],
+                         tile_bins[tid_c])
 
         # --- rasterize (Rasterize) ---
         img, log_t, fidx = rasterize_fwd_pallas(
             packed, starts, ends, tile_ids,
-            tiles_x=tiles_x, num_tiles=num_tiles, max_isects=max_isects,
+            tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
         )
         res = (packed, slots_sorted, starts, ends, tile_ids, log_t, fidx,
@@ -179,9 +188,17 @@ def make_pallas_pipeline(
         g_img = g[0]
         grads = rasterize_bwd_pallas(
             packed, g_img, log_t, fidx, starts, ends, tile_ids,
-            tiles_x=tiles_x, num_tiles=num_tiles, max_isects=max_isects,
+            tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
         )  # (16, max_isects + k_lanes), tile order
+
+        # Only this strip's sorted range holds real gradient records (the
+        # strip is ascending, so the range is contiguous); everything else
+        # is another device's share or unwritten garbage.
+        if raster_tiles != num_tiles:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, max_isects), 1)
+            in_strip = (pos >= starts[0]) & (pos < ends[-1])
+            grads = jnp.where(in_strip, grads[:, :max_isects], 0.0)
 
         # --- back to slot order: records of one splat become contiguous ---
         gops = jax.lax.sort(

@@ -2,14 +2,19 @@
 
 Dataflow per step (see sharding.py for the decomposition rationale):
 
-  gaussian-sharded:  project + SH + opacity on the local splat shard
-  all_gather (ICI):  projected splats -> replicated compact arrays
-  replicated:        depth sort + intersection expansion + tile bins
-                     (integer bookkeeping; cheap relative to raster)
+  gaussian-sharded:  project + SH + opacity + exact-tile pretest on the
+                     local splat shard
+  all_gather (ICI):  attribute/decode rows -> replicated compact arrays
+  replicated:        depth sort + expansion + tile bins (the record
+                     pipeline's integer bookkeeping; cheap relative to
+                     raster and identical on every device)
   tile-sharded:      each device rasterizes its contiguous tile strip
   all_gather (ICI):  image tiles -> full image, loss replicated
-  backward:          transposes of the gathers reduce-scatter the per-splat
-                     cotangents back to the owning shard; Adam runs locally.
+  backward:          each device's strip produces gradient records for a
+                     contiguous sorted range; the segment-sum reduces them
+                     per splat, and the transpose of the attribute
+                     all_gather reduce-scatters the partial cotangents back
+                     to the owning shard. Adam runs locally.
 
 The reference has no counterpart (single-GPU); this is the BASELINE.md
 "gaussians + image tiles sharded over the mesh" design.
@@ -26,11 +31,11 @@ from jax.experimental.shard_map import shard_map
 
 from brush_tpu.config import TrainConfig
 from brush_tpu.constants import TILE_WIDTH, sh_degree_from_coeffs
-from brush_tpu.ops.binning import build_intersections
+from brush_tpu.ops.binning import build_intersections, precompute_tile_masks
 from brush_tpu.ops.projection import Projection, project_splats
 from brush_tpu.ops.rasterize_tiled import assemble_image, make_rasterizer
 from brush_tpu.ops.sh import sh_to_color
-from brush_tpu.optim import adam_step
+from brush_tpu.optim import AdamState, adam_step
 from brush_tpu.parallel.sharding import AXIS
 from brush_tpu.ssim import Ssim
 from brush_tpu.train import StepStats, TrainState
@@ -63,7 +68,6 @@ def make_sharded_train_step(
     tiles_y = -(-h // TILE_WIDTH)
     num_tiles = tiles_x * tiles_y
     tiles_per = -(-num_tiles // n_dev)
-    tiles_pad = tiles_per * n_dev
 
     if backend == "auto":
         backend = "xla" if jax.default_backend() == "cpu" else "pallas"
@@ -73,16 +77,162 @@ def make_sharded_train_step(
         max_isects = default_max_isects(capacity, img_size)
 
     ssim = Ssim(config.ssim_window_size, 3)
-    if backend == "pallas":
-        from brush_tpu.ops.pallas.raster_vjp import make_pallas_rasterizer
+    use_pipeline = backend in ("pallas", "pallas_interpret")
+    if use_pipeline:
+        from brush_tpu.ops.pallas.raster_vjp import make_pallas_pipeline
 
         k_lanes = max(128, block_size)
-        max_isects = -(-max_isects // k_lanes) * k_lanes
-        align = k_lanes
-        raster = make_pallas_rasterizer(tiles_x, tiles_per, max_isects, k_lanes)
+        k_align = max(k_lanes, 512)
+        max_isects = -(-max_isects // k_align) * k_align
+        raster = make_pallas_pipeline(
+            tiles_x, num_tiles, max_isects, capacity, k_lanes=k_lanes,
+            raster_tiles=tiles_per,
+            interpret=backend == "pallas_interpret"
+            or jax.default_backend() == "cpu",
+        )
     else:
-        align = 1
         raster = make_rasterizer(tiles_x, tiles_per, max_isects, block_size)
+
+    gather1 = functools.partial(
+        jax.lax.all_gather, axis_name=AXIS, tiled=True, axis=1
+    )
+    gather0 = functools.partial(
+        jax.lax.all_gather, axis_name=AXIS, tiled=True
+    )
+
+    def _loss_pipeline(params, xy_dummy_l, active_l, d, gt,
+                       viewmat, focal, pixel_center):
+        """Tile-sharded loss on the TPU record pipeline."""
+        quats_n = params["quats"] / jnp.linalg.norm(
+            params["quats"], axis=-1, keepdims=True
+        ).clip(1e-12)
+        proj_l = project_splats(
+            params["means"], params["log_scales"], quats_n,
+            viewmat, focal, pixel_center, img_size, active=active_l,
+        )
+        cam_pos = viewmat[:3, 3]
+        viewdir = params["means"] - cam_pos
+        viewdir = viewdir / jnp.linalg.norm(
+            viewdir, axis=-1, keepdims=True
+        ).clip(1e-12)
+        viewdir = jax.lax.stop_gradient(viewdir)
+        color_l = sh_to_color(
+            sh_degree_from_coeffs(sh_count), viewdir, params["sh_coeffs"]
+        )
+        opac_l = jax.nn.sigmoid(params["raw_opacity"])
+        xy_l = proj_l.xy + xy_dummy_l
+
+        proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj_l)
+        masks = precompute_tile_masks(proj_sg, jax.lax.stop_gradient(opac_l))
+        producing_l = proj_l.visible & (masks.counts > 0)
+        counts_g = jnp.where(producing_l, masks.counts, 0)
+        depth_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(proj_l.depth, 1e-20), jnp.uint32
+        )
+        depth_key_l = jnp.where(
+            producing_l, depth_bits, jnp.uint32(0xFFFFFFFF)
+        )
+
+        f32 = lambda v: v.astype(jnp.float32)
+        m_lo, m_hi = masks.mask_lo, masks.mask_hi
+        attrs9_l = jnp.stack(
+            [xy_l[:, 0], xy_l[:, 1], proj_l.conic[:, 0], proj_l.conic[:, 1],
+             proj_l.conic[:, 2], color_l[:, 0], color_l[:, 1],
+             color_l[:, 2], opac_l], axis=0,
+        )
+        decode_l = jax.lax.stop_gradient(jnp.stack(
+            [f32(proj_l.tile_min[:, 0]), f32(proj_l.tile_min[:, 1]),
+             f32(jnp.maximum(proj_l.tile_max[:, 0] - proj_l.tile_min[:, 0], 1)),
+             f32(m_lo & 0xFFFF), f32(m_lo >> 16),
+             f32(m_hi & 0xFFFF), f32(m_hi >> 16),
+             f32(masks.pc_pack & 0xFFFF), f32(masks.pc_pack >> 16),
+             f32(masks.small), f32(counts_g)], axis=0,
+        ))
+
+        # Re-shard: gaussian-parallel -> replicated rows. The backward of
+        # these gathers reduce-scatters the per-splat cotangents back to
+        # the owning shard over ICI.
+        attrs9 = gather1(attrs9_l)
+        decode = gather1(decode_l)
+        depth_key = gather0(depth_key_l)
+
+        t0 = d * tiles_per
+        my_tiles = t0 + jnp.arange(tiles_per, dtype=jnp.int32)
+        img_tiles_l, _, num_isects = raster(
+            attrs9, decode, depth_key, my_tiles
+        )
+
+        # Re-shard: tile-parallel -> full image for the loss.
+        img_tiles_f = gather0(img_tiles_l)
+        img = assemble_image(
+            img_tiles_f[:num_tiles], img_size, tiles_x, tiles_y
+        )
+        num_visible = jax.lax.psum(
+            jnp.sum(proj_l.visible).astype(jnp.int32), AXIS
+        )
+        return img, num_visible, num_isects, producing_l
+
+    def _loss_xla(params, xy_dummy_l, active_l, d, gt,
+                  viewmat, focal, pixel_center):
+        """Replicated-binning loss on the XLA rasterizer (CPU fallback)."""
+        quats_n = params["quats"] / jnp.linalg.norm(
+            params["quats"], axis=-1, keepdims=True
+        ).clip(1e-12)
+        proj_l = project_splats(
+            params["means"], params["log_scales"], quats_n,
+            viewmat, focal, pixel_center, img_size, active=active_l,
+        )
+        cam_pos = viewmat[:3, 3]
+        viewdir = params["means"] - cam_pos
+        viewdir = viewdir / jnp.linalg.norm(
+            viewdir, axis=-1, keepdims=True
+        ).clip(1e-12)
+        viewdir = jax.lax.stop_gradient(viewdir)
+        color_l = sh_to_color(
+            sh_degree_from_coeffs(sh_count), viewdir, params["sh_coeffs"]
+        )
+        opac_l = jax.nn.sigmoid(params["raw_opacity"])
+        xy_l = proj_l.xy + xy_dummy_l
+
+        proj_f = Projection(*[gather0(x) for x in proj_l])
+        color_f = gather0(color_l)
+        opac_f = gather0(opac_l)
+        xy_f = gather0(xy_l)
+
+        isect = build_intersections(
+            jax.tree_util.tree_map(jax.lax.stop_gradient, proj_f),
+            jax.lax.stop_gradient(opac_f),
+            (tiles_x, tiles_y),
+            max_isects,
+            align=1,
+        )
+        order = isect.order
+        attrs = jnp.concatenate(
+            [xy_f, proj_f.conic, color_f, opac_f[:, None]], axis=1
+        )[order]
+
+        tiles_pad = tiles_per * n_dev
+        starts_pad = jnp.pad(isect.starts, (0, tiles_pad - num_tiles))
+        ends_pad = jnp.pad(isect.ends, (0, tiles_pad - num_tiles))
+        t0 = d * tiles_per
+        my_starts = jax.lax.dynamic_slice(starts_pad, (t0,), (tiles_per,))
+        my_ends = jax.lax.dynamic_slice(ends_pad, (t0,), (tiles_per,))
+        my_tiles = t0 + jnp.arange(tiles_per, dtype=jnp.int32)
+
+        img_tiles_l = raster(
+            attrs[:, 0:2], attrs[:, 2:5], attrs[:, 5:8], attrs[:, 8],
+            isect.isect_gid, my_starts, my_ends, my_tiles,
+        )
+        img_tiles_f = gather0(img_tiles_l)
+        img = assemble_image(
+            img_tiles_f[:num_tiles], img_size, tiles_x, tiles_y
+        )
+        producing_l = jax.lax.dynamic_slice(
+            isect.producing, (d * rows_per,), (rows_per,)
+        )
+        return img, isect.num_visible, isect.num_isects, producing_l
+
+    loss_core = _loss_pipeline if use_pipeline else _loss_xla
 
     def device_fn(params, opt_m, opt_v, opt_count, accum, counts, n_live,
                   gt, viewmat, focal, pixel_center, lr_mean, step_idx):
@@ -92,64 +242,10 @@ def make_sharded_train_step(
         active_l = rows < n_live
 
         def loss_fn(params, xy_dummy_l):
-            quats_n = params["quats"] / jnp.linalg.norm(
-                params["quats"], axis=-1, keepdims=True
-            ).clip(1e-12)
-            proj_l = project_splats(
-                params["means"], params["log_scales"], quats_n,
-                viewmat, focal, pixel_center, img_size, active=active_l,
+            img, num_visible, num_isects, producing_l = loss_core(
+                params, xy_dummy_l, active_l, d, gt,
+                viewmat, focal, pixel_center,
             )
-            cam_pos = viewmat[:3, 3]
-            viewdir = params["means"] - cam_pos
-            viewdir = viewdir / jnp.linalg.norm(
-                viewdir, axis=-1, keepdims=True
-            ).clip(1e-12)
-            viewdir = jax.lax.stop_gradient(viewdir)
-            sh_degree = sh_degree_from_coeffs(sh_count)
-            color_l = sh_to_color(sh_degree, viewdir, params["sh_coeffs"])
-            opac_l = jax.nn.sigmoid(params["raw_opacity"])
-            xy_l = proj_l.xy + xy_dummy_l
-
-            # Re-shard: gaussian-parallel -> replicated projected splats.
-            gather = functools.partial(jax.lax.all_gather, axis_name=AXIS, tiled=True)
-            proj_f = Projection(
-                xy=gather(xy_l),
-                depth=gather(proj_l.depth),
-                conic=gather(proj_l.conic),
-                radius=gather(proj_l.radius),
-                tile_min=gather(proj_l.tile_min),
-                tile_max=gather(proj_l.tile_max),
-                visible=gather(proj_l.visible),
-            )
-            color_f = gather(color_l)
-            opac_f = gather(opac_l)
-
-            isect = build_intersections(
-                jax.tree_util.tree_map(jax.lax.stop_gradient, proj_f),
-                jax.lax.stop_gradient(opac_f),
-                (tiles_x, tiles_y),
-                max_isects,
-                align=align,
-            )
-            order = isect.order
-
-            # Tile strip for this device (empty padding ranges past the end).
-            starts_pad = jnp.pad(isect.starts, (0, tiles_pad - num_tiles))
-            ends_pad = jnp.pad(isect.ends, (0, tiles_pad - num_tiles))
-            t0 = d * tiles_per
-            my_starts = jax.lax.dynamic_slice(starts_pad, (t0,), (tiles_per,))
-            my_ends = jax.lax.dynamic_slice(ends_pad, (t0,), (tiles_per,))
-            my_tiles = t0 + jnp.arange(tiles_per, dtype=jnp.int32)
-
-            img_tiles_l = raster(
-                proj_f.xy[order], proj_f.conic[order], color_f[order],
-                opac_f[order], isect.isect_gid, my_starts, my_ends, my_tiles,
-            )
-
-            # Re-shard: tile-parallel -> full image for the loss.
-            img_tiles_f = gather(img_tiles_l)
-            img = assemble_image(img_tiles_f[:num_tiles], img_size, tiles_x, tiles_y)
-
             pred = img if channels == 4 else img[..., :3]
             l1 = jnp.mean(jnp.abs(pred - gt))
             if config.ssim_weight > 0.0:
@@ -157,10 +253,10 @@ def make_sharded_train_step(
                 loss = l1 * (1.0 - config.ssim_weight) - ssim_val * config.ssim_weight
             else:
                 loss = l1
-            return loss, (isect.num_visible, isect.num_isects, isect.producing)
+            return loss, (num_visible, num_isects, producing_l)
 
         xy_dummy_l = jnp.zeros((rows_per, 2), jnp.float32)
-        (loss, (num_visible, num_isects, producing)), (pgrads, xy_grads) = (
+        (loss, (num_visible, num_isects, producing_l)), (pgrads, xy_grads) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, xy_dummy_l
             )
@@ -170,12 +266,8 @@ def make_sharded_train_step(
         gate = (step_idx > config.warmup_steps).astype(jnp.float32)
         xys_scaled = xy_grads * jnp.asarray([w / 2.0, h / 2.0], jnp.float32)
         norms = jnp.sqrt(jnp.sum(xys_scaled**2, axis=1))
-        counts_inc_f = producing.astype(jnp.int32)
-        counts_inc_l = jax.lax.dynamic_slice(
-            counts_inc_f, (d * rows_per,), (rows_per,)
-        )
         accum = accum + gate * norms
-        counts = counts + gate.astype(jnp.int32) * counts_inc_l
+        counts = counts + gate.astype(jnp.int32) * producing_l.astype(jnp.int32)
 
         if sh_count > 1:
             sh_scale = jnp.concatenate(
@@ -190,8 +282,6 @@ def make_sharded_train_step(
             "quats": config.lr_rotation,
             "log_scales": config.lr_scale,
         }
-        from brush_tpu.optim import AdamState
-
         new_params, new_opt = adam_step(
             params, pgrads, AdamState(m=opt_m, v=opt_v, count=opt_count),
             lrs, eps=config.adam_eps,
@@ -228,8 +318,6 @@ def make_sharded_train_step(
                 gt, viewmat, focal, pixel_center, lr_mean, step_idx,
             )
         )
-        from brush_tpu.optim import AdamState
-
         new_state = TrainState(
             splats=state.splats.with_params(new_params),
             opt=AdamState(m=m, v=v, count=count),
