@@ -153,7 +153,7 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             dma(0, 0).start()
 
         def body(carry):
-            b, log_t, rgb_r, rgb_g, rgb_b, fidx = carry
+            b, log_t, alive, rgb_r, rgb_g, rgb_b, fidx = carry
 
             @pl.when(b + 1 < num_batches)
             def _():
@@ -180,7 +180,14 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             lom = jnp.log1p(-alpha)
             csum = _cumsum_lanes(lom, k_lanes)
             log_t_after = log_t + csum
-            act = log_t_after > LOG_T_EPS
+            # The early-out is STICKY (reference: rasterize.wgsl:87-90 sets
+            # `done` and breaks without compositing the crossing splat). A
+            # bare T-threshold would let a pixel whose crossing lane was
+            # excluded "revive" in a later batch — and the backward's
+            # T-reconstruction (which replays everything below final_index)
+            # then diverges explosively.
+            # alive rides the carry as f32 (Mosaic cannot yield i1 vectors).
+            act = (alive > 0.5) & (log_t_after > LOG_T_EPS)
             t_before = jnp.exp(log_t_after - lom)
             fac = alpha * t_before * jnp.where(act, 1.0, 0.0)
 
@@ -190,28 +197,32 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             log_t = log_t + jnp.sum(
                 jnp.where(act, lom, 0.0), axis=1, keepdims=True
             )
+            alive = jnp.where(
+                log_t_after[:, k_lanes - 1 : k_lanes] > LOG_T_EPS, alive, 0.0
+            )
 
             contributed = act & (alpha > 0.0)
             fidx = jnp.maximum(
                 fidx,
                 jnp.max(jnp.where(contributed, isect_idx, -1), axis=1, keepdims=True),
             )
-            return (b + 1, log_t, rgb_r, rgb_g, rgb_b, fidx)
+            return (b + 1, log_t, alive, rgb_r, rgb_g, rgb_b, fidx)
 
         def cond(carry):
-            b, log_t = carry[0], carry[1]
-            return (b < num_batches) & (jnp.max(log_t) > LOG_T_EPS)
+            b, alive = carry[0], carry[2]
+            return (b < num_batches) & (jnp.max(alive) > 0.5)
 
         p = TILE_SIZE
         init = (
             jnp.zeros((), jnp.int32),
             jnp.zeros((p, 1), jnp.float32),
+            jnp.ones((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
             jnp.full((p, 1), -1, jnp.int32),
         )
-        b_final, log_t, rgb_r, rgb_g, rgb_b, fidx = jax.lax.while_loop(
+        b_final, log_t, _alive, rgb_r, rgb_g, rgb_b, fidx = jax.lax.while_loop(
             cond, body, init
         )
 

@@ -86,7 +86,7 @@ def make_rasterizer(tiles_x: int, num_tiles: int, max_isects: int, block_size: i
             return r * k_lanes < max_len
 
         def body(carry):
-            r, log_t, rgb, final_idx = carry
+            r, log_t, alive, rgb, final_idx = carry
             idx = starts[:, None] + r * k_lanes + lanes[None, :]     # (T, K)
             lane_mask = idx < ends[:, None]
             gid = isect_gid[jnp.clip(idx, 0, max_isects - 1)]
@@ -99,28 +99,33 @@ def make_rasterizer(tiles_x: int, num_tiles: int, max_isects: int, block_size: i
             lom = jnp.log1p(-alpha)
             csum = jnp.cumsum(lom, axis=-1)
             log_t_after = log_t[:, :, None] + csum
-            act = log_t_after > LOG_T_EPS
+            # Sticky early-out (reference: rasterize.wgsl:87-90 `done`): the
+            # crossing splat is not composited and the pixel never revives,
+            # keeping the backward's final_index replay consistent.
+            act = alive[:, :, None] & (log_t_after > LOG_T_EPS)
             t_before = jnp.exp(log_t_after - lom)
             fac = alpha * t_before * act
 
             rgb = rgb + jnp.einsum("tpk,tkc->tpc", fac, bcolor)
             log_t = log_t + jnp.sum(lom * act, axis=-1)
+            alive = alive & (log_t_after[..., -1] > LOG_T_EPS)
 
             contributed = act & (alpha > 0.0)
             idx_b = jnp.broadcast_to(idx[:, None, :], contributed.shape)
             final_idx = jnp.maximum(
                 final_idx, jnp.max(jnp.where(contributed, idx_b, -1), axis=-1)
             )
-            return (r + 1, log_t, rgb, final_idx)
+            return (r + 1, log_t, alive, rgb, final_idx)
 
         p = TILE_SIZE
         init = (
             jnp.zeros((), jnp.int32),
             jnp.zeros((num_tiles, p), jnp.float32),
+            jnp.ones((num_tiles, p), jnp.bool_),
             jnp.zeros((num_tiles, p, 3), jnp.float32),
             jnp.full((num_tiles, p), -1, jnp.int32),
         )
-        _, log_t, rgb, final_idx = jax.lax.while_loop(cond, body, init)
+        _, log_t, _alive, rgb, final_idx = jax.lax.while_loop(cond, body, init)
         img = jnp.concatenate([rgb, 1.0 - jnp.exp(log_t)[..., None]], axis=-1)
         return img, log_t, final_idx
 

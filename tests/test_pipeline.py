@@ -111,3 +111,43 @@ def test_pipeline_padding_rows_get_zero_grads():
     g = np.asarray(jax.grad(f)(model.means))
     assert np.isfinite(g).all()
     assert np.abs(g[64:]).max() == 0.0
+
+
+def test_saturated_tile_no_revival_blowup():
+    # Regression: a pixel whose transmittance crosses the 1e-4 early-out
+    # mid-block used to "revive" in the next block (the crossing lane is
+    # excluded from the carry), making the backward's final_index replay
+    # absorb far more than the forward and explode exp-reconstruction into
+    # inf/NaN. The early-out must be sticky (rasterize.wgsl:87-90 `done`).
+    n = 400
+    rng = np.random.default_rng(0)
+    model = sp.from_random(rng, [-0.05, -0.05, 0], [0.05, 0.05, 2.0],
+                           count=n, sh_degree=0)
+    # Dense, fairly opaque splats stacked on one small screen region.
+    model = model.replace(
+        raw_opacity=model.raw_opacity.at[:n].set(1.5),
+        log_scales=model.log_scales.at[:n].set(np.log(0.05)),
+    )
+    cam = Camera(position=[0, 0, -4.0], rotation=[1, 0, 0, 0],
+                 fov_x=np.pi / 3, fov_y=np.pi / 3)
+    img_size = (32, 32)
+    cp = camera_params(cam, img_size)
+
+    grads = {}
+    for backend, block in (("xla", 16), ("pallas", 128)):
+        def f(means):
+            img, _ = render_splats(
+                means, model.log_scales, model.quats, model.sh_coeffs,
+                model.raw_opacity, cp, img_size,
+                active=model.active_mask(), backend=backend,
+                block_size=block, max_isects=4096,
+            )
+            return jnp.sum(img ** 2)
+
+        g = np.asarray(jax.grad(f)(model.means))
+        assert np.isfinite(g).all(), f"{backend} grads not finite"
+        assert np.abs(g).max() < 1e4, f"{backend} grads exploded"
+        grads[backend] = g
+    np.testing.assert_allclose(grads["pallas"], grads["xla"],
+                               atol=3e-5 * max(np.abs(grads["xla"]).max(), 1.0),
+                               rtol=0)
