@@ -286,7 +286,7 @@ def main(argv=None):
     t.add_argument("--iters", type=int, default=30000)
     t.add_argument("--sh-degree", type=int, default=3)
     t.add_argument("--init-count", type=int, default=10000)
-    t.add_argument("--block-size", type=int, default=256)
+    t.add_argument("--block-size", type=int, default=512)
     t.add_argument("--densify-grad-thresh", type=float, default=2e-4)
     t.add_argument("--refine-every", type=int, default=100)
     t.add_argument("--faithful-reference-refine", action="store_true",
@@ -305,7 +305,7 @@ def main(argv=None):
     _add_dataset_args(e)
     e.add_argument("--ply", default=None)
     e.add_argument("--ckpt", default=None)
-    e.add_argument("--block-size", type=int, default=256)
+    e.add_argument("--block-size", type=int, default=512)
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("render", help="render one dataset view to a PNG")
@@ -314,7 +314,7 @@ def main(argv=None):
     r.add_argument("--ckpt", default=None)
     r.add_argument("--view", type=int, default=0)
     r.add_argument("--out", default="render.png")
-    r.add_argument("--block-size", type=int, default=256)
+    r.add_argument("--block-size", type=int, default=512)
     r.set_defaults(fn=cmd_render)
 
     v = sub.add_parser("view", help="live web viewer (optionally training)")
@@ -324,7 +324,7 @@ def main(argv=None):
     v.add_argument("--port", type=int, default=8642)
     v.add_argument("--sh-degree", type=int, default=3)
     v.add_argument("--init-count", type=int, default=10000)
-    v.add_argument("--block-size", type=int, default=256)
+    v.add_argument("--block-size", type=int, default=512)
     v.add_argument("--max-resolution", type=int, default=None)
     v.add_argument("--eval-split-every", type=int, default=None)
     v.set_defaults(fn=cmd_view)

@@ -45,7 +45,7 @@ def main():
 
     if len(sys.argv) > 2 and sys.argv[2] == "train":
         def loss_fn(m, ls, q, sh, o):
-            img, _ = render_splats(m, ls, q, sh, o, cp, IMG, block_size=256,
+            img, _ = render_splats(m, ls, q, sh, o, cp, IMG, block_size=512,
                                    max_isects=POOL)
             return jnp.mean(jnp.abs(img[..., :3] - gt))
 
