@@ -14,6 +14,8 @@ import numpy as np
 
 def main(out="/tmp/synth_scene.zip", n_views=24, size=128, n_splats=80,
          seed=7):
+    n_views, size, n_splats, seed = (int(n_views), int(size), int(n_splats),
+                                     int(seed))
     import jax
     jax.config.update("jax_platforms", "cpu")
     from PIL import Image
@@ -79,4 +81,4 @@ def main(out="/tmp/synth_scene.zip", n_views=24, size=128, n_splats=80,
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    main(*sys.argv[1:5])

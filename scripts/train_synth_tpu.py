@@ -11,7 +11,10 @@ import numpy as np
 
 
 def main(source="/tmp/synth_scene.zip", iters=1500, capacity=16384,
-         init_count=2000, eval_every=500):
+         init_count=2000, eval_every=500, sh_degree=1, block=512):
+    iters, capacity, init_count, eval_every, sh_degree, block = (
+        int(iters), int(capacity), int(init_count), int(eval_every),
+        int(sh_degree), int(block))
     import jax
 
     from brush_tpu.config import TrainConfig
@@ -32,9 +35,9 @@ def main(source="/tmp/synth_scene.zip", iters=1500, capacity=16384,
     c2, e2 = ds.train.bounds(bext * 0.25, bext)
     rng = np.random.default_rng(config.seed)
     splats = from_random(rng, c2 - e2, c2 + e2, count=init_count,
-                         sh_degree=1, capacity=capacity)
+                         sh_degree=sh_degree, capacity=capacity)
 
-    trainer = SplatTrainer(config, raster_block_size=256)
+    trainer = SplatTrainer(config, raster_block_size=block)
     trainer._isect_pool = 1 << 20
     state = trainer.init_state(splats)
     loader = SceneLoader(ds.train, seed=config.seed)
@@ -54,13 +57,13 @@ def main(source="/tmp/synth_scene.zip", iters=1500, capacity=16384,
                   f"({step / (time.time() - t0):.2f} it/s)", flush=True)
         if eval_every and step > 0 and step % eval_every == 0:
             views = [(v.camera, v.image) for v in ds.eval.views]
-            evals = eval_stats(state.splats, views, block_size=256)
+            evals = eval_stats(state.splats, views, block_size=block)
             print(f"  eval PSNR {np.mean([e.psnr for e in evals]):.2f} "
                   f"SSIM {np.mean([e.ssim for e in evals]):.4f}", flush=True)
     loader.close()
 
     views = [(v.camera, v.image) for v in ds.eval.views]
-    evals = eval_stats(state.splats, views, block_size=256)
+    evals = eval_stats(state.splats, views, block_size=block)
     dt = time.time() - t0
     print(f"FINAL: PSNR {np.mean([e.psnr for e in evals]):.2f} "
           f"SSIM {np.mean([e.ssim for e in evals]):.4f} "
