@@ -140,10 +140,55 @@ def main():
         # Sub-1/255 max tolerance: fp-ordering can flip a splat exactly at
         # the alpha >= 1/255 contribution threshold (sigma computed by MXU
         # rank-6 form vs VPU direct form); such a flip changes a pixel by at
-        # most 1/255. Anything above that is a real bug.
+        # most 1/255. With the sticky early-out, a death-lane flip also cuts
+        # a pixel's tail at T ~ 1e-4, so saturated scenes carry an expected
+        # ~1e-4 mean difference. Anything above these bounds is a real bug.
         assert diff.max() < 1.5 / 255.0, "MISMATCH"
-        assert diff.mean() < 1e-5, "MISMATCH (mean)"
-        print("MATCH")
+        assert diff.mean() < 3e-4, "MISMATCH (mean)"
+        print("MATCH (aligned kernel path)")
+
+    # --- full record pipeline (expand + payload sorts + raster + bwd) ---
+    from brush_tpu.render import render_splats
+
+    def pipe_loss(backend, block):
+        def f(means_, scales_, quats_, sh_, opac_):
+            img, _ = render_splats(
+                means_, scales_, quats_, sh_, opac_, cp, img_size,
+                block_size=block, max_isects=max_isects, backend=backend,
+            )
+            return jnp.sum(img ** 2), img
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4),
+                                          has_aux=True))
+
+    t0 = time.perf_counter()
+    (l_p, img_p), g_p = jax.block_until_ready(
+        pipe_loss("pallas", k_lanes)(means, log_scales, quats, sh, opac_raw))
+    print(f"pipeline fwd+bwd compile+run: {time.perf_counter()-t0:.1f}s")
+    assert all(bool(jnp.isfinite(g).all()) for g in g_p), "pipeline NaN grads"
+    if not args.skip_xla:
+        (l_x, img_x), g_x = jax.block_until_ready(
+            pipe_loss("xla", 256)(means, log_scales, quats, sh, opac_raw))
+        di = np.abs(np.asarray(img_p) - np.asarray(img_x))
+        print(f"pipeline img vs xla: max {di.max():.2e}")
+        assert di.max() < 1.5 / 255.0, "PIPELINE IMG MISMATCH"
+        for a, b in zip(g_p, g_x):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-3)
+            bad = np.abs(a - b).max()
+            # Element max allows a handful of contribution-threshold /
+            # death-lane flips (fp-divergent sigma paths); the Frobenius
+            # ratio catches any systematic disagreement. Measured on this
+            # scene: 60-88% of the difference energy concentrates in ~100
+            # of 50k splats (boundary flips), fro-ratio <= 3e-3.
+            fro = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+            print(f"  grad maxdiff {bad:.2e} (scale {scale:.2e}) "
+                  f"fro-ratio {fro:.2e}")
+            assert bad < 5e-3 * scale, "PIPELINE GRAD MISMATCH (max)"
+            assert fro < 5e-3, "PIPELINE GRAD MISMATCH (systematic)"
+        np.savez("/tmp/tpu_check_grads.npz",
+                 **{f"p{i}": np.asarray(g) for i, g in enumerate(g_p)},
+                 **{f"x{i}": np.asarray(g) for i, g in enumerate(g_x)})
+        print("MATCH (record pipeline fwd+bwd)")
 
 
 if __name__ == "__main__":
