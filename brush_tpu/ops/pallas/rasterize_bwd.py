@@ -74,6 +74,17 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
         )
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
 
+        # Batches wholly past every pixel's final contribution (the forward
+        # early-out) produce all-zero gradient records — write zeros for
+        # that suffix instead of computing it. Batch 0 always takes the
+        # compute path so its leading-boundary merge runs.
+        max_f = jnp.max(fidx)
+        nb_eff = jnp.minimum(
+            num_batches,
+            pl.cdiv(jnp.maximum(max_f + 1 - base, 0), k_lanes),
+        )
+        zstart = jnp.maximum(nb_eff, 1)
+
         def dma_in(slot, b):
             off = base + b * k_lanes
             return pltpu.make_async_copy(
@@ -84,7 +95,19 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
 
         @pl.when(num_batches > 0)
         def _():
-            dma_in((num_batches - 1) % 2, num_batches - 1).start()
+            gbuf[:, :] = jnp.zeros((GRAD_ROWS, k_lanes), jnp.float32)
+
+            def zero_body(b, _):
+                off = base + b * k_lanes
+                zdma = pltpu.make_async_copy(
+                    gbuf, grads_hbm.at[:, pl.ds(off, k_lanes)], out_sem
+                )
+                zdma.start()
+                zdma.wait()
+                return 0
+
+            jax.lax.fori_loop(zstart, num_batches, zero_body, 0)
+            dma_in((zstart - 1) % 2, zstart - 1).start()
 
         def body(carry):
             b, log_t_end, s_behind = carry
@@ -215,8 +238,10 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             return carry[0] >= 0
 
         p = TILE_SIZE
+        # Start at the last effective batch: the skipped suffix has no act
+        # lanes, so the carry (log_t_end, s_behind) is unchanged across it.
         init = (
-            num_batches - 1,
+            jnp.where(num_batches > 0, zstart - 1, -1),
             log_t_final,
             jnp.zeros((p, 1), jnp.float32),
         )
