@@ -106,6 +106,7 @@ def cmd_train(args):
                     loss=float(stats.loss),
                     num_visible=int(stats.num_visible),
                     num_isects=int(stats.num_isects),
+                    num_dropped=int(stats.num_dropped),
                     splats=int(state.splats.n_live),
                     iters_per_s=metrics.iters_per_sec(),
                     lr_mean=config.lr_mean_at(step) * batch.scene_extent,

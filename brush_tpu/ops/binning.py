@@ -178,11 +178,15 @@ def precompute_tile_masks(proj: Projection, opac: jnp.ndarray) -> TileMasks:
     mask_lo = q0.astype(jnp.uint32) | (q1.astype(jnp.uint32) << 16)
     mask_hi = q2.astype(jnp.uint32) | (q3.astype(jnp.uint32) << 16)
 
-    # Per-byte popcounts (<= 8 each) packed 4 bits apiece, via one weighted
-    # f32 sum: sum_k hit_k * 16^(k//8) = sum_j popcount_j * 16^j, exact
-    # because every term and partial sum is < 2^24.
-    wpc = (16.0 ** (np.arange(MASK_BITS) // 8)).astype(np.float32)[:, None]
-    pc_pack = jnp.sum(hit_f * wpc, axis=0).astype(jnp.uint32)
+    # Per-byte popcounts (<= 8 each) packed 4 bits apiece. Summed in two
+    # exact 16-bit halves (like the mask bits): each half-sum is
+    # sum_k hit_k * 16^(k//8) <= 0x8888 < 2^16, so every partial sum fits
+    # the f32 mantissa exactly. A single 32-bit weighted sum would NOT be
+    # exact — its max value 0x88888888 needs 32 significant bits.
+    wpc16 = (16.0 ** (np.arange(32) // 8)).astype(np.float32)[:, None]
+    pc_lo = jnp.sum(hit_f[0:32] * wpc16, axis=0).astype(jnp.uint32)
+    pc_hi = jnp.sum(hit_f[32:64] * wpc16, axis=0).astype(jnp.uint32)
+    pc_pack = pc_lo | (pc_hi << 16)
 
     cnt_exact = jnp.sum(hit_f, axis=0).astype(jnp.int32)
     counts = jnp.where(small, cnt_exact, area)
@@ -233,6 +237,7 @@ class Intersections(NamedTuple):
     ends: jnp.ndarray         # (num_tiles,) range end per tile (exclusive)
     num_visible: jnp.ndarray  # () int32
     num_isects: jnp.ndarray   # () int32 (records surviving the exact test)
+    num_dropped: jnp.ndarray  # () int32 records lost to pool overflow
     producing: jnp.ndarray    # (N,) bool, global order: emits >=1 record
 
 
@@ -343,6 +348,7 @@ def build_intersections(
     boundaries = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     tile_bins = jnp.searchsorted(sorted_key, boundaries, side="left").astype(jnp.int32)
     num_isects = tile_bins[-1]
+    num_dropped = jnp.maximum(total - max_isects, 0).astype(jnp.int32)
 
     if align <= 1:
         return Intersections(
@@ -352,6 +358,7 @@ def build_intersections(
             ends=tile_bins[1:],
             num_visible=num_visible,
             num_isects=num_isects,
+            num_dropped=num_dropped,
             producing=producing,
         )
 
@@ -397,5 +404,6 @@ def build_intersections(
         ends=ends,
         num_visible=num_visible,
         num_isects=num_isects,
+        num_dropped=num_dropped,
         producing=producing,
     )

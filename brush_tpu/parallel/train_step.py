@@ -23,6 +23,7 @@ The reference has no counterpart (single-GPU); this is the BASELINE.md
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -82,7 +83,7 @@ def make_sharded_train_step(
         from brush_tpu.ops.pallas.raster_vjp import make_pallas_pipeline
 
         k_lanes = max(128, block_size)
-        k_align = max(k_lanes, 512)
+        k_align = math.lcm(k_lanes, 512)  # pool tiles both k_lanes and k_exp
         max_isects = -(-max_isects // k_align) * k_align
         raster = make_pallas_pipeline(
             tiles_x, num_tiles, max_isects, capacity, k_lanes=k_lanes,
@@ -158,9 +159,10 @@ def make_sharded_train_step(
 
         t0 = d * tiles_per
         my_tiles = t0 + jnp.arange(tiles_per, dtype=jnp.int32)
-        img_tiles_l, _, num_isects = raster(
+        img_tiles_l, _, num_isects, raw_total = raster(
             attrs9, decode, depth_key, my_tiles
         )
+        num_dropped = jnp.maximum(raw_total - max_isects, 0).astype(jnp.int32)
 
         # Re-shard: tile-parallel -> full image for the loss.
         img_tiles_f = gather0(img_tiles_l)
@@ -170,7 +172,7 @@ def make_sharded_train_step(
         num_visible = jax.lax.psum(
             jnp.sum(proj_l.visible).astype(jnp.int32), AXIS
         )
-        return img, num_visible, num_isects, producing_l
+        return img, num_visible, num_isects, num_dropped, producing_l
 
     def _loss_xla(params, xy_dummy_l, active_l, d, gt,
                   viewmat, focal, pixel_center):
@@ -230,7 +232,8 @@ def make_sharded_train_step(
         producing_l = jax.lax.dynamic_slice(
             isect.producing, (d * rows_per,), (rows_per,)
         )
-        return img, isect.num_visible, isect.num_isects, producing_l
+        return (img, isect.num_visible, isect.num_isects, isect.num_dropped,
+                producing_l)
 
     loss_core = _loss_pipeline if use_pipeline else _loss_xla
 
@@ -242,7 +245,7 @@ def make_sharded_train_step(
         active_l = rows < n_live
 
         def loss_fn(params, xy_dummy_l):
-            img, num_visible, num_isects, producing_l = loss_core(
+            img, num_visible, num_isects, num_dropped, producing_l = loss_core(
                 params, xy_dummy_l, active_l, d, gt,
                 viewmat, focal, pixel_center,
             )
@@ -253,10 +256,11 @@ def make_sharded_train_step(
                 loss = l1 * (1.0 - config.ssim_weight) - ssim_val * config.ssim_weight
             else:
                 loss = l1
-            return loss, (num_visible, num_isects, producing_l)
+            return loss, (num_visible, num_isects, num_dropped, producing_l)
 
         xy_dummy_l = jnp.zeros((rows_per, 2), jnp.float32)
-        (loss, (num_visible, num_isects, producing_l)), (pgrads, xy_grads) = (
+        ((loss, (num_visible, num_isects, num_dropped, producing_l)),
+         (pgrads, xy_grads)) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, xy_dummy_l
             )
@@ -288,7 +292,7 @@ def make_sharded_train_step(
         )
         return (
             new_params, new_opt.m, new_opt.v, new_opt.count,
-            accum, counts, loss, num_visible, num_isects,
+            accum, counts, loss, num_visible, num_isects, num_dropped,
         )
 
     sh = P(AXIS)          # row-sharded
@@ -305,13 +309,14 @@ def make_sharded_train_step(
         ),
         out_specs=(
             params_spec, params_spec, params_spec, rep,
-            sh, sh, rep, rep, rep,
+            sh, sh, rep, rep, rep, rep,
         ),
         check_rep=False,
     )
 
     def step(state: TrainState, gt, viewmat, focal, pixel_center, lr_mean, step_idx):
-        (new_params, m, v, count, accum, counts, loss, num_visible, num_isects) = (
+        (new_params, m, v, count, accum, counts, loss, num_visible,
+         num_isects, num_dropped) = (
             sharded(
                 state.splats.params(), state.opt.m, state.opt.v, state.opt.count,
                 state.grad_2d_accum, state.xy_grad_counts, state.splats.n_live,
@@ -325,7 +330,8 @@ def make_sharded_train_step(
             xy_grad_counts=counts,
         )
         return new_state, StepStats(
-            loss=loss, num_visible=num_visible, num_isects=num_isects
+            loss=loss, num_visible=num_visible, num_isects=num_isects,
+            num_dropped=num_dropped,
         )
 
     return jax.jit(step)

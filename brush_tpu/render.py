@@ -27,6 +27,7 @@ centers, so d(loss)/d(xy_dummy) lands at *global* splat indices.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -45,6 +46,7 @@ class RenderAux(NamedTuple):
 
     num_visible: jnp.ndarray   # () int32
     num_isects: jnp.ndarray    # () int32
+    num_dropped: jnp.ndarray   # () int32 records lost to pool overflow
     visible: jnp.ndarray       # (N,) bool, global order
     order: jnp.ndarray         # (N,) depth order: compact -> global id
     producing: jnp.ndarray     # (N,) bool, global order: emits >=1 record
@@ -61,7 +63,11 @@ def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
     and every pool-sized op's cost scales with this static size.
     """
     tiles = (-(-int(img_size[0]) // TILE_WIDTH)) * (-(-int(img_size[1]) // TILE_WIDTH))
-    return min(n * 8, n * tiles, cap)
+    # Floor of 64k slots: at small N (early training, train2d's 32 splats)
+    # a single large gaussian can legitimately cover hundreds of tiles, so
+    # n*8 alone would truncate. Overflow is observable via
+    # RenderAux.num_dropped either way.
+    return min(max(n * 8, 64 * 1024), n * tiles, cap)
 
 
 def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
@@ -118,9 +124,12 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
         interpret=interpret,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    img_tiles, order, total = raster(attrs9, decode, depth_key, tile_ids)
+    img_tiles, order, total, raw_total = raster(
+        attrs9, decode, depth_key, tile_ids
+    )
     num_isects = jnp.minimum(total, max_isects).astype(jnp.int32)
-    return img_tiles, order, num_isects, producing
+    num_dropped = jnp.maximum(raw_total - max_isects, 0).astype(jnp.int32)
+    return img_tiles, order, num_isects, num_dropped, producing
 
 
 def render_splats(
@@ -154,7 +163,10 @@ def render_splats(
         max_isects = default_max_isects(n, img_size)
     if backend == "pallas":
         k_lanes = max(128, block_size)
-        k_align = max(k_lanes, 512)  # pool must tile both k_lanes and k_exp
+        # Pool must tile both k_lanes and k_exp (512): lcm, not max — for
+        # non-power-of-two blocks (192, 384, ...) max(k_lanes, 512) is not
+        # a multiple of k_lanes and the pipeline would assert at trace time.
+        k_align = math.lcm(k_lanes, 512)
         max_isects = -(-max_isects // k_align) * k_align
     else:
         k_lanes = block_size
@@ -184,7 +196,7 @@ def render_splats(
     if backend == "pallas":
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
         masks = precompute_tile_masks(proj_sg, jax.lax.stop_gradient(opac))
-        img_tiles, order, num_isects, producing = _render_pallas(
+        img_tiles, order, num_isects, num_dropped, producing = _render_pallas(
             xy, proj.conic, color, opac, proj_sg, masks, tiles_x, tiles_y,
             max_isects, k_lanes,
             interpret=jax.default_backend() == "cpu",
@@ -193,6 +205,7 @@ def render_splats(
         aux = RenderAux(
             num_visible=num_visible,
             num_isects=num_isects,
+            num_dropped=num_dropped,
             visible=proj.visible,
             order=order,
             producing=producing,
@@ -228,6 +241,7 @@ def render_splats(
     aux = RenderAux(
         num_visible=isect.num_visible,
         num_isects=isect.num_isects,
+        num_dropped=isect.num_dropped,
         visible=proj.visible,
         order=order,
         producing=isect.producing,

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import NamedTuple
 
 import jax
@@ -37,6 +38,8 @@ from brush_tpu.ops.rasterize_reference import CameraParams, camera_params
 from brush_tpu.render import render_splats
 from brush_tpu.splats import PADDING_RAW_OPACITY, Splats, inverse_sigmoid
 from brush_tpu.ssim import Ssim
+
+_log = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -65,6 +68,7 @@ class StepStats(NamedTuple):
     loss: jnp.ndarray
     num_visible: jnp.ndarray
     num_isects: jnp.ndarray
+    num_dropped: jnp.ndarray  # records lost to intersection-pool overflow
 
 
 class RefineStats(NamedTuple):
@@ -109,6 +113,8 @@ class SplatTrainer:
         self._ssim = Ssim(self.config.ssim_window_size, 3)
         self._key = jax.random.PRNGKey(self.config.seed)
         self.last_refine_stats = None
+        self._prev_stats: StepStats | None = None
+        self.total_dropped_records = 0
 
     # ------------------------------------------------------------------ #
 
@@ -130,6 +136,22 @@ class SplatTrainer:
         lr_mean = cfg.lr_mean_at(self.iter)
         if cfg.scale_mean_lr_by_extent:
             lr_mean *= batch.scene_extent
+
+        # Mid-window overflow response (one step delayed so the read never
+        # stalls the dispatch pipeline — the previous step's stats are
+        # already materialized): ANY dropped record doubles the pool right
+        # away instead of waiting for the next refine boundary.
+        if self._prev_stats is not None:
+            dropped = int(self._prev_stats.num_dropped)
+            if dropped > 0:
+                self.total_dropped_records += dropped
+                pool_now = self._pool_size(state.splats.capacity)
+                self._isect_pool = pool_now * 2
+                _log.warning(
+                    "intersection pool overflowed: %d records dropped at "
+                    "iter %d; growing pool %d -> %d",
+                    dropped, self.iter - 1, pool_now, self._isect_pool,
+                )
 
         cam = camera_params(batch.camera, img_size)
         pool = self._pool_size(state.splats.capacity)
@@ -156,6 +178,7 @@ class SplatTrainer:
             state, self.last_refine_stats = self._refine(state, pre_splats)
 
         self.iter += 1
+        self._prev_stats = stats
         return state, stats
 
     # ------------------------------------------------------------------ #
@@ -232,7 +255,8 @@ class SplatTrainer:
                 xy_grad_counts=counts,
             )
             return new_state, StepStats(
-                loss=loss, num_visible=aux.num_visible, num_isects=aux.num_isects
+                loss=loss, num_visible=aux.num_visible,
+                num_isects=aux.num_isects, num_dropped=aux.num_dropped,
             )
 
         return jax.jit(step_fn)

@@ -133,29 +133,39 @@ class TrainWorker(threading.Thread):
                     msg = self.control.get_nowait()
                 except queue.Empty:
                     msg = None
-                if msg is not None:
-                    state = self._handle(msg, trainer, state)
-                    paused = self.get_stats().get("paused", False)
-                    continue
-                if paused:
-                    time.sleep(0.05)
-                    paused = self.get_stats().get("paused", False)
-                    continue
+                try:
+                    if msg is not None:
+                        state = self._handle(msg, trainer, state)
+                        paused = self.get_stats().get("paused", False)
+                        continue
+                    if paused:
+                        time.sleep(0.05)
+                        paused = self.get_stats().get("paused", False)
+                        continue
 
-                batch = loader.next_batch()
-                t0 = time.time()
-                state, stats = trainer.step(state, batch)
-                window.append(time.time() - t0)
-                window[:] = window[-25:]  # stats.rs:120 25-sample window
-                self.render.publish(state.splats)
-                self.put_stats(
-                    iter=trainer.iter,
-                    loss=float(stats.loss),
-                    splats=int(state.splats.n_live),
-                    num_visible=int(stats.num_visible),
-                    num_isects=int(stats.num_isects),
-                    iters_per_s=len(window) / max(sum(window), 1e-9),
-                )
+                    batch = loader.next_batch()
+                    t0 = time.time()
+                    state, stats = trainer.step(state, batch)
+                    window.append(time.time() - t0)
+                    window[:] = window[-25:]  # stats.rs:120 25-sample window
+                    self.render.publish(state.splats)
+                    self.put_stats(
+                        iter=trainer.iter,
+                        loss=float(stats.loss),
+                        splats=int(state.splats.n_live),
+                        num_visible=int(stats.num_visible),
+                        num_isects=int(stats.num_isects),
+                        num_dropped=int(stats.num_dropped),
+                        iters_per_s=len(window) / max(sum(window), 1e-9),
+                    )
+                except Exception:
+                    # Surface the failure instead of dying silently: the
+                    # daemon thread keeps serving /api/state with an error
+                    # field so the browser shows training stopped.
+                    import traceback
+
+                    self.put_stats(error=traceback.format_exc(), paused=True)
+                    paused = True
         finally:
             loader.close()
 

@@ -81,6 +81,34 @@ def test_train2d_converges():
     assert int(state.splats.n_live) >= 16
 
 
+def test_pool_overflow_signal_and_growth():
+    # A mid-window intersection-pool overflow must be visible
+    # (StepStats.num_dropped > 0) and must grow the pool on the very next
+    # step — without waiting for a refine boundary.
+    size = 64
+    target = synthetic_target(size)
+    cam = toy_camera(size)
+    config = TrainConfig(warmup_steps=10**9, refine_every=10**9)
+    rng = np.random.default_rng(0)
+    splats = from_random(rng, [-2.5, -2.5, -2.5], [2.5, 2.5, 2.5], count=64,
+                         sh_degree=0)
+    # Large opaque splats cover every tile -> far more records than the pool.
+    splats = splats.replace(
+        log_scales=jnp.zeros_like(splats.log_scales),  # scale 1.0
+    )
+    trainer = SplatTrainer(config, raster_block_size=16)
+    trainer._isect_pool = 256
+    state = trainer.init_state(splats)
+    batch = SceneBatch(gt_image=target, camera=cam, scene_extent=1.0)
+
+    state, stats = trainer.step(state, batch)
+    assert int(stats.num_dropped) > 0, "overflow must surface in StepStats"
+    # The next step reads the (one-step delayed) signal and doubles the pool.
+    state, _ = trainer.step(state, batch)
+    assert trainer._isect_pool >= 512
+    assert trainer.total_dropped_records > 0
+
+
 def test_refine_clone_split_prune():
     # Deterministic refinement surgery check on a tiny hand-built state.
     config = TrainConfig(warmup_steps=0, refine_every=1, reset_alpha_every_refine=10**9)
