@@ -146,12 +146,25 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int, slot_bits: int,
             # One-hot slot->splat selector from ONE compare: window sublane
             # iota vs the slot's window-local compact splat id.
             sub = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
-            oh = (sub == local).astype(jnp.float32)            # (W, K)
+            oh = (sub == local).astype(jnp.bfloat16)           # (W, K), exact
 
-            out = jax.lax.dot_general(
-                attrs_w, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # Exact f32 gather in 3 bf16 passes (instead of HIGHEST's 6):
+            # the one-hot is exact in bf16, and the attr rows split into
+            # three bf16 components that sum exactly to the f32 value. Each
+            # product selects a single component, so no cross-term ever
+            # accumulates and the sum reconstructs the f32 row bit-exactly.
+            a_hi = attrs_w.astype(jnp.bfloat16)
+            r1 = attrs_w - a_hi.astype(jnp.float32)
+            a_mid = r1.astype(jnp.bfloat16)
+            a_lo = (r1 - a_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            out = (
+                jax.lax.dot_general(a_hi, oh, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(a_mid, oh, dn,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(a_lo, oh, dn,
+                                      preferred_element_type=jnp.float32)
             )                                                  # (24, K)
 
             # Per-slot decode on (1, K) lane vectors.

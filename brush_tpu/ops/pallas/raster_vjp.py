@@ -42,13 +42,20 @@ from brush_tpu.ops.pallas.expand import (
     WINDOW_ALIGN,
     expand_pallas,
 )
-from brush_tpu.ops.pallas.rasterize_bwd import rasterize_bwd_pallas
+from brush_tpu.ops.pallas.rasterize_bwd import GRAD_ROWS, rasterize_bwd_pallas
 from brush_tpu.ops.pallas.rasterize_fwd import (
     PACK_ROWS,
     pack_isect_splats,
     rasterize_fwd_pallas,
 )
 from brush_tpu.ops.pallas.segsum import SEG_ROWS, segment_sum_pallas
+
+# Test hook (tests/test_noise_fill.py): when set, the backward gradient pool
+# starts pre-filled with this sentinel instead of unspecified memory — the
+# TPU analog of the reference's test-build uninit-noise defense
+# (brush-kernel/src/lib.rs:134-147). A regression in the garbage-slot
+# masking then corrupts gradients loudly instead of silently reading zeros.
+DEBUG_GRAD_POOL_FILL: float | None = None
 
 
 @functools.lru_cache(maxsize=32)
@@ -63,8 +70,8 @@ def make_pallas_pipeline(
     (img_tiles, order, total, raw_total) where
       attrs9: (9, n) f32, GLOBAL order — x, y, cxx, cxy, cyy, r, g, b,
         opac (differentiable);
-      decode: (11, n) f32 ints, global order — tmin_x, tmin_y, bbox_w,
-        mask halves x4, pc halves x2, small, counts (stop-gradient);
+      decode: (5, n) uint32, global order — packed per-splat decode state
+        (render.pack_decode_rows layout; stop-gradient);
       depth_key: (n,) uint32 — bitcast depth, 0xFFFFFFFF for non-producing;
       tile_ids: (raster_tiles,) i32 tile id per grid step — an ASCENDING
         strip (ids >= num_tiles render empty tiles). When raster_tiles <
@@ -77,6 +84,7 @@ def make_pallas_pipeline(
     static pool (observability; VERDICT r1 weak #6).
     """
     raster_tiles = num_tiles if raster_tiles is None else raster_tiles
+    assert tiles_x <= 2047, "packed decode rows carry 11-bit tile coords"
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     # Pack the slot id into the key's low bits when it fits: depth order
     # within a tile comes free and the backward re-sort key is recovered by
@@ -95,23 +103,37 @@ def make_pallas_pipeline(
 
     def _fwd_impl(attrs9, decode, depth_key, tile_ids):
         # --- depth sort, everything as payload (DepthSort) ---
+        # decode is 5 packed u32 rows (see render.pack_decode_rows): the
+        # sort moves 16 arrays instead of 22, and the unpack below is a few
+        # elementwise shifts.
         ops = jax.lax.sort(
             (depth_key,)
             + tuple(attrs9[i] for i in range(9))
-            + tuple(decode[i] for i in range(11))
+            + tuple(decode[i] for i in range(5))
             + (jnp.arange(n, dtype=jnp.int32),),
             num_keys=1, is_stable=True,
         )
-        order = ops[21]
-        counts_c = ops[20].astype(jnp.int32)
+        order = ops[15]
+        d0, d1, m_lo, m_hi, pc = ops[10], ops[11], ops[12], ops[13], ops[14]
+        counts_c = (d1 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         cum = jnp.cumsum(counts_c)
         offsets = cum - counts_c
         raw_total = cum[-1].astype(jnp.int32)
         total = jnp.minimum(cum[-1:], max_isects).astype(jnp.int32)
 
+        f32 = lambda v: v.astype(jnp.float32)
         attrs_t = jnp.concatenate(
             [
-                jnp.stack(ops[1:20], axis=0),  # 9 attrs + 10 decode rows
+                jnp.stack(ops[1:10], axis=0),              # 9 attrs
+                jnp.stack(                                  # decode rows 9-18
+                    [f32(d0 & jnp.uint32(0x7FF)),
+                     f32((d0 >> 11) & jnp.uint32(0x7FF)),
+                     f32(d0 >> 22),
+                     f32(m_lo & jnp.uint32(0xFFFF)), f32(m_lo >> 16),
+                     f32(m_hi & jnp.uint32(0xFFFF)), f32(m_hi >> 16),
+                     f32(pc & jnp.uint32(0xFFFF)), f32(pc >> 16),
+                     f32(d1 >> 31)], axis=0,
+                ),
                 offsets.astype(jnp.float32)[None],
                 jnp.arange(n, dtype=jnp.float32)[None],  # gid (unused)
                 jnp.zeros((EXP_IN_ROWS - 21, n), jnp.float32),
@@ -194,10 +216,16 @@ def make_pallas_pipeline(
         (packed, slots_sorted, starts, ends, tile_ids, log_t, fidx,
          splat_c, s_lo, total, order) = res
         g_img = g[0]
+        grads_init = None
+        if DEBUG_GRAD_POOL_FILL is not None:
+            grads_init = jnp.full(
+                (GRAD_ROWS, max_isects + k_lanes), DEBUG_GRAD_POOL_FILL,
+                jnp.float32,
+            )
         grads = rasterize_bwd_pallas(
             packed, g_img, log_t, fidx, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
-            k_lanes=k_lanes, interpret=interpret,
+            k_lanes=k_lanes, interpret=interpret, grads_init=grads_init,
         )  # (16, max_isects + k_lanes), tile order
 
         # Only this strip's sorted range holds real gradient records (the

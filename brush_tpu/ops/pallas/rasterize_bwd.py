@@ -35,7 +35,7 @@ from brush_tpu.constants import ALPHA_EPS, ALPHA_MAX, TILE_SIZE, TILE_WIDTH
 from brush_tpu.ops.pallas.rasterize_fwd import (
     LANE_ALIGN,
     PACK_ROWS,
-    _cumsum_lanes,
+    _cumsum_lanes_mxu,
     _pixel_basis,
     _splat_basis,
 )
@@ -136,7 +136,7 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             act = (isect_idx <= fidx) & (alpha > 0.0)
             actf = jnp.where(act, 1.0, 0.0)
             m = jnp.log1p(-alpha) * actf
-            m_inc = _cumsum_lanes(m, k_lanes)
+            m_inc = _cumsum_lanes_mxu(m, k_lanes)
             m_tot = m_inc[:, k_lanes - 1 : k_lanes]
             log_t_after = log_t_end - (m_tot - m_inc)
             t_before = jnp.exp(log_t_after - m)
@@ -149,7 +149,7 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
                 + v_rgb[:, 2:3] * blk[7:8]
             )
             contrib = cw * fac
-            c_inc = _cumsum_lanes(contrib, k_lanes)
+            c_inc = _cumsum_lanes_mxu(contrib, k_lanes)
             c_tot = c_inc[:, k_lanes - 1 : k_lanes]
             buffer_excl = s_behind + (c_tot - c_inc)
 
@@ -257,28 +257,52 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
 def rasterize_bwd_pallas(
     packed, v_out_tiles, log_t, fidx, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
-    interpret: bool = False,
+    interpret: bool = False, grads_init=None,
 ):
     """Per-intersection gradients (GRAD_ROWS, MAX_ISECTS + K).
 
     Rows: v_xy(2), v_conic(3), v_color(3), v_opac(1). Slots outside all tile
     ranges are unwritten garbage — mask by slot < num_isects before use.
+
+    grads_init: optional (GRAD_ROWS, max_isects + k_lanes) initial contents
+    of the output pool. Tests pass sentinel noise here (the analog of the
+    reference's test-build uninit-noise fill, brush-kernel/src/lib.rs:134-147)
+    so a downstream masking regression reads loud garbage instead of silent
+    zeros.
     """
     assert max_isects % k_lanes == 0
     assert packed.shape[1] == max_isects + k_lanes
     kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [starts, ends, tile_ids,
+            packed, v_out_tiles, log_t[..., None], fidx[..., None]]
+    aliases = {}
+    if grads_init is not None:
+        # Pre-filled output pool, donated in place. The production path
+        # skips this (the pool starts as whatever memory held before — the
+        # design masks garbage slots downstream); tests pass sentinel noise
+        # to prove that masking.
+        assert grads_init.shape == (GRAD_ROWS, max_isects + k_lanes)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(grads_init)
+        aliases = {7: 0}  # after the 3 scalar-prefetch args
+
+        def kernel_wrap(s, e, t, p, v, lt, fi, _gi, g, *scratch):
+            return kernel(s, e, t, p, v, lt, fi, g, *scratch)
+    else:
+        kernel_wrap = kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.float32),
@@ -290,15 +314,13 @@ def rasterize_bwd_pallas(
         ],
     )
     (grads,) = pl.pallas_call(
-        kernel,
+        kernel_wrap,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((GRAD_ROWS, max_isects + k_lanes), jnp.float32)
         ],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(
-        starts, ends, tile_ids,
-        packed, v_out_tiles, log_t[..., None], fidx[..., None],
-    )
+    )(*args)
     return grads

@@ -56,12 +56,25 @@ def _make_segsum_kernel(k_seg: int, window: int):
             live = (slot0 + lane) < total                     # (1, K)
             local = sbuf[:, :] - s_al                         # (1, K)
             sub = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
-            oh = ((sub == local) & live).astype(jnp.float32)  # (W, K)
+            oh = ((sub == local) & live).astype(jnp.bfloat16)  # (W, K), exact
 
-            partial = jax.lax.dot_general(
-                gbuf[:, :], oh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            # 3 bf16 passes instead of HIGHEST's 6: the one-hot is exact in
+            # bf16; the gradient rows split into three bf16 components whose
+            # per-component f32-accumulated sums add to the same result as a
+            # direct f32 reduction (up to reassociation).
+            g = gbuf[:, :]
+            g_hi = g.astype(jnp.bfloat16)
+            r1 = g - g_hi.astype(jnp.float32)
+            g_mid = r1.astype(jnp.bfloat16)
+            g_lo = (r1 - g_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (1,)), ((), ()))
+            partial = (
+                jax.lax.dot_general(g_hi, oh, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(g_mid, oh, dn,
+                                      preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(g_lo, oh, dn,
+                                      preferred_element_type=jnp.float32)
             )                                                 # (16, W)
 
             oin.wait()

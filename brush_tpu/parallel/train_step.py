@@ -134,21 +134,16 @@ def make_sharded_train_step(
             producing_l, depth_bits, jnp.uint32(0xFFFFFFFF)
         )
 
-        f32 = lambda v: v.astype(jnp.float32)
-        m_lo, m_hi = masks.mask_lo, masks.mask_hi
+        from brush_tpu.render import pack_decode_rows
+
         attrs9_l = jnp.stack(
             [xy_l[:, 0], xy_l[:, 1], proj_l.conic[:, 0], proj_l.conic[:, 1],
              proj_l.conic[:, 2], color_l[:, 0], color_l[:, 1],
              color_l[:, 2], opac_l], axis=0,
         )
-        decode_l = jax.lax.stop_gradient(jnp.stack(
-            [f32(proj_l.tile_min[:, 0]), f32(proj_l.tile_min[:, 1]),
-             f32(jnp.maximum(proj_l.tile_max[:, 0] - proj_l.tile_min[:, 0], 1)),
-             f32(m_lo & 0xFFFF), f32(m_lo >> 16),
-             f32(m_hi & 0xFFFF), f32(m_hi >> 16),
-             f32(masks.pc_pack & 0xFFFF), f32(masks.pc_pack >> 16),
-             f32(masks.small), f32(counts_g)], axis=0,
-        ))
+        decode_l = jax.lax.stop_gradient(
+            pack_decode_rows(proj_l, masks, counts_g)
+        )
 
         # Re-shard: gaussian-parallel -> replicated rows. The backward of
         # these gathers reduce-scatters the per-splat cotangents back to

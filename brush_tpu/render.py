@@ -70,6 +70,27 @@ def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
     return min(max(n * 8, 64 * 1024), n * tiles, cap)
 
 
+def pack_decode_rows(proj, masks, counts_g) -> jnp.ndarray:
+    """Pack the per-splat decode state into 5 uint32 rows.
+
+    The depth sort carries every per-splat quantity as a sort payload (a
+    gather after the sort would cost ~20ns per index); packing the 11
+    small-integer decode quantities into 5 u32 rows cuts the sorted bytes by
+    ~27%. Layout (unpacked in raster_vjp._fwd_impl):
+
+      row 0: tmin_x (11b) | tmin_y << 11 (11b) | bbox_w << 22 (10b)
+      row 1: counts (31b) | small << 31
+      row 2: mask_lo   row 3: mask_hi   row 4: pc_pack
+    """
+    u32 = lambda v: v.astype(jnp.uint32)
+    bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
+    d0 = (u32(proj.tile_min[:, 0]) | (u32(proj.tile_min[:, 1]) << 11)
+          | (u32(bbox_w) << 22))
+    d1 = u32(counts_g) | (u32(masks.small) << 31)
+    return jnp.stack([d0, d1, masks.mask_lo, masks.mask_hi, masks.pc_pack],
+                     axis=0)
+
+
 def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
     """(h, w, 4) float RGBA -> (h, w) uint32 packed RGBA8.
 
@@ -102,21 +123,11 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
     )
     depth_key = jnp.where(producing, depth_bits, jnp.uint32(0xFFFFFFFF))
 
-    f32 = lambda v: v.astype(jnp.float32)
-    m_lo = masks.mask_lo
-    m_hi = masks.mask_hi
     attrs9 = jnp.stack(
         [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
          color[:, 0], color[:, 1], color[:, 2], opac], axis=0,
     )  # (9, n), global order, differentiable
-    decode = jnp.stack(
-        [f32(proj.tile_min[:, 0]), f32(proj.tile_min[:, 1]),
-         f32(jnp.maximum(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1)),
-         f32(m_lo & 0xFFFF), f32(m_lo >> 16),
-         f32(m_hi & 0xFFFF), f32(m_hi >> 16),
-         f32(masks.pc_pack & 0xFFFF), f32(masks.pc_pack >> 16),
-         f32(masks.small), f32(counts_g)], axis=0,
-    )  # (11, n)
+    decode = pack_decode_rows(proj, masks, counts_g)
     decode = jax.lax.stop_gradient(decode)
 
     raster = make_pallas_pipeline(
