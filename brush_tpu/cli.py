@@ -94,6 +94,13 @@ def cmd_train(args):
         if args.checkpoint_dir else None,
         use_rerun=args.rerun,
     )
+    viz = None
+    if args.rerun:
+        from brush_tpu.utils.rerun_viz import RerunVisualizer
+
+        viz = RerunVisualizer()
+        if viz.active:
+            viz.log_dataset(ds.train)
 
     try:
         for step in range(start_step, args.iters):
@@ -123,10 +130,20 @@ def cmd_train(args):
 
             if args.eval_every and ds.eval and step > 0 and step % args.eval_every == 0:
                 views = [(v.camera, v.image) for v in ds.eval.views[: args.eval_views]]
-                evals = eval_stats(state.splats, views, block_size=args.block_size)
+                evals = eval_stats(state.splats, views, block_size=args.block_size,
+                                   keep_images=viz is not None and viz.active)
                 psnr = float(np.mean([e.psnr for e in evals]))
                 ssim = float(np.mean([e.ssim for e in evals]))
                 metrics.log(step, eval_psnr=psnr, eval_ssim=ssim)
+                if viz is not None and viz.active:
+                    viz.log_splats(step, state.splats)
+                    for i, ((c, gt), ev) in enumerate(zip(views, evals)):
+                        viz.log_eval(step, i, ev.rendered, gt, ev.psnr)
+                    c0, gt0 = views[0]
+                    viz.log_tile_heatmaps(
+                        step, state.splats, c0,
+                        (gt0.shape[1], gt0.shape[0]),
+                    )
 
             if args.checkpoint_dir and step > 0 and step % args.checkpoint_every == 0:
                 path = os.path.join(args.checkpoint_dir, f"ckpt_{step:07d}.npz")

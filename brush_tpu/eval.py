@@ -16,6 +16,7 @@ from brush_tpu.ssim import Ssim
 class EvalView(NamedTuple):
     psnr: float
     ssim: float
+    rendered: np.ndarray | None = None  # kept only when keep_image is set
 
 
 def psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
@@ -24,7 +25,8 @@ def psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
 
 
 def eval_view(
-    splats: Splats, camera, gt_image: np.ndarray, block_size: int = 32
+    splats: Splats, camera, gt_image: np.ndarray, block_size: int = 32,
+    keep_image: bool = False,
 ) -> EvalView:
     """PSNR/SSIM of one view; MSE on RGB only (eval.rs:48-65)."""
     h, w = gt_image.shape[:2]
@@ -39,9 +41,14 @@ def eval_view(
     mse = jnp.mean((render_rgb - gt_rgb) ** 2)
     psnr = float(psnr_from_mse(mse))
     ssim = float(Ssim(11, 3).ssim(render_rgb[None], gt_rgb[None]))
-    return EvalView(psnr=psnr, ssim=ssim)
+    return EvalView(
+        psnr=psnr, ssim=ssim,
+        rendered=np.asarray(render_rgb) if keep_image else None,
+    )
 
 
-def eval_stats(splats: Splats, views, block_size: int = 32) -> list[EvalView]:
+def eval_stats(splats: Splats, views, block_size: int = 32,
+               keep_images: bool = False) -> list[EvalView]:
     """Evaluate a list of (camera, gt_image) pairs (eval.rs:27-77)."""
-    return [eval_view(splats, cam, img, block_size) for cam, img in views]
+    return [eval_view(splats, cam, img, block_size, keep_image=keep_images)
+            for cam, img in views]

@@ -28,7 +28,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from brush_tpu.config import TrainConfig
 from brush_tpu.constants import TILE_WIDTH, sh_degree_from_coeffs
@@ -306,7 +306,7 @@ def make_sharded_train_step(
             params_spec, params_spec, params_spec, rep,
             sh, sh, rep, rep, rep, rep,
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     def step(state: TrainState, gt, viewmat, focal, pixel_center, lr_mean, step_idx):
