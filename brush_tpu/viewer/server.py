@@ -103,7 +103,7 @@ class TrainWorker(threading.Thread):
         self.control: queue.Queue = queue.Queue()
         self.stats: dict = {"iter": 0, "paused": False}
         self._stats_lock = threading.Lock()
-        self._stop = threading.Event()
+        self._stop_evt = threading.Event()
         self._splats0 = splats
 
     def put_stats(self, **kw):
@@ -115,7 +115,7 @@ class TrainWorker(threading.Thread):
             return dict(self.stats)
 
     def stop(self):
-        self._stop.set()
+        self._stop_evt.set()
 
     def run(self):
         from brush_tpu.datasets.loader import SceneLoader
@@ -128,7 +128,7 @@ class TrainWorker(threading.Thread):
         paused = False
         window: list = []
         try:
-            while not self._stop.is_set():
+            while not self._stop_evt.is_set():
                 try:
                     msg = self.control.get_nowait()
                 except queue.Empty:
@@ -181,9 +181,15 @@ class TrainWorker(threading.Thread):
             scene = self.dataset.eval or self.dataset.train
             views = [(v.camera, v.image) for v in scene.views[:8]]
             evals = eval_stats(state.splats, views, block_size=self.block_size)
+            psnr = float(np.mean([e.psnr for e in evals]))
+            # PSNR history feeds the stats panel's plot (stats.rs:120-160).
+            hist = self.get_stats().get("eval_history", []) + [
+                [trainer.iter, round(psnr, 3)]
+            ]
             self.put_stats(
-                eval_psnr=float(np.mean([e.psnr for e in evals])),
+                eval_psnr=psnr,
                 eval_ssim=float(np.mean([e.ssim for e in evals])),
+                eval_history=hist[-200:],
             )
         elif cmd == "export":
             from brush_tpu.datasets.ply import splats_to_ply
@@ -197,12 +203,36 @@ class TrainWorker(threading.Thread):
 
 class ViewerServer:
     def __init__(self, render: RenderService, dataset=None,
-                 worker: TrainWorker | None = None, port: int = 8642):
+                 worker: TrainWorker | None = None, port: int = 8642,
+                 session_factory=None, preset_dirs=("data", ".")):
         self.render = render
         self.dataset = dataset
         self.worker = worker
         self.port = port
+        # session_factory(path) -> (dataset, worker): enables loading a new
+        # dataset from the browser (the reference's LoadData panel).
+        self.session_factory = session_factory
+        self.preset_dirs = preset_dirs
         self._httpd: ThreadingHTTPServer | None = None
+
+    def _presets(self) -> dict:
+        """Dataset zips discoverable on this machine (Presets panel)."""
+        found = []
+        for d in self.preset_dirs:
+            p = Path(d)
+            if p.is_dir():
+                found += sorted(str(f) for f in p.glob("*.zip"))
+        return {"presets": found}
+
+    def load_source(self, path: str) -> None:
+        if self.session_factory is None:
+            raise RuntimeError("viewer started without a session factory")
+        if self.worker is not None:
+            self.worker.stop()
+            self.worker.join(timeout=30)
+        self.dataset, self.worker = self.session_factory(path)
+        if self.worker is not None:
+            self.worker.start()
 
     # ------------------------------------------------------------------ #
 
@@ -295,6 +325,9 @@ class ViewerServer:
                     elif u.path == "/api/view_cam":
                         self._send(200, json.dumps(server._view_cam(q)).encode(),
                                    "application/json")
+                    elif u.path == "/api/presets":
+                        self._send(200, json.dumps(server._presets()).encode(),
+                                   "application/json")
                     else:
                         self._send(404, b"not found", "text/plain")
                 except Exception as e:  # surface errors to the browser
@@ -307,6 +340,9 @@ class ViewerServer:
                     msg = json.loads(self.rfile.read(n) or b"{}")
                     if u.path == "/api/control" and server.worker:
                         server.worker.control.put(msg)
+                        self._send(200, b'{"ok": true}', "application/json")
+                    elif u.path == "/api/load":
+                        server.load_source(msg["path"])
                         self._send(200, b'{"ok": true}', "application/json")
                     else:
                         self._send(404, b"not found", "text/plain")
@@ -342,32 +378,43 @@ def run_viewer(source=None, ply=None, train=True, port=8642,
     from brush_tpu.splats import from_random
 
     render = RenderService(block_size=block_size)
+
+    def session_factory(src):
+        """(dataset, unstarted worker) for a dataset source path."""
+        dataset = load_dataset(src, LoadDatasetArgs(
+            max_resolution=max_resolution, eval_split_every=eval_split_every))
+        if not train:
+            return dataset, None
+        cfg = config or TrainConfig()
+        splats = load_initial_splats(src, sh_degree=sh_degree)
+        if splats is None:
+            center, extent = dataset.train.bounds(0.0, 0.0)
+            bext = float(np.linalg.norm(extent))
+            c2, e2 = dataset.train.bounds(bext * 0.25, bext)
+            rng = np.random.default_rng(cfg.seed)
+            splats = from_random(rng, c2 - e2, c2 + e2, count=init_count,
+                                 sh_degree=sh_degree)
+        worker = TrainWorker(dataset, splats, cfg, render,
+                             block_size=block_size)
+        return dataset, worker
+
     dataset = None
     worker = None
-
     if ply:
         from brush_tpu.datasets.ply import load_splats_from_ply
 
         with open(ply, "rb") as f:
             render.publish(load_splats_from_ply(f.read()))
     if source:
-        dataset = load_dataset(source, LoadDatasetArgs(
-            max_resolution=max_resolution, eval_split_every=eval_split_every))
-        if train:
-            config = config or TrainConfig()
-            splats = None if ply else load_initial_splats(
-                source, sh_degree=sh_degree)
-            if splats is None and not ply:
-                center, extent = dataset.train.bounds(0.0, 0.0)
-                bext = float(np.linalg.norm(extent))
-                c2, e2 = dataset.train.bounds(bext * 0.25, bext)
-                rng = np.random.default_rng(config.seed)
-                splats = from_random(rng, c2 - e2, c2 + e2, count=init_count,
-                                     sh_degree=sh_degree)
-            if splats is not None:
-                worker = TrainWorker(dataset, splats, config, render,
-                                     block_size=block_size)
+        if ply:
+            dataset = load_dataset(source, LoadDatasetArgs(
+                max_resolution=max_resolution,
+                eval_split_every=eval_split_every))
+        else:
+            dataset, worker = session_factory(source)
+            if worker is not None:
                 worker.start()
 
-    server = ViewerServer(render, dataset=dataset, worker=worker, port=port)
+    server = ViewerServer(render, dataset=dataset, worker=worker, port=port,
+                          session_factory=session_factory)
     server.serve_forever()

@@ -1,0 +1,94 @@
+"""Multi-chip scaling-efficiency harness (BASELINE.md: >=80% at N>=2 hosts).
+
+Measures sharded-train-step throughput on 1, 2, 4, ... devices of whatever
+mesh is available and reports efficiency vs the single-device rate. On real
+TPU slices run it as-is (one process per host via jax.distributed; see
+brush_tpu/parallel/multihost.py); on this single-chip environment it can
+only demonstrate the harness on a virtual CPU mesh (pass --cpu N), where
+timing is not meaningful but the measurement plumbing is the deliverable.
+
+Usage:
+  python scripts/scaling_bench.py [--cpu N] [--splats M] [--size S] [--steps K]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="use a virtual CPU mesh with N devices")
+    ap.add_argument("--splats", type=int, default=1 << 17)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}"
+        ).strip()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from brush_tpu.camera import Camera
+    from brush_tpu.config import TrainConfig
+    from brush_tpu.ops.rasterize_reference import camera_params
+    from brush_tpu.parallel import make_mesh, make_sharded_train_step
+    from brush_tpu.parallel.sharding import shard_state
+    from brush_tpu.splats import from_random
+    from brush_tpu.train import SplatTrainer
+
+    devices = jax.devices()
+    img_size = (args.size, args.size)
+    rng = np.random.default_rng(0)
+    config = TrainConfig(warmup_steps=0)
+    cam = Camera(position=[0, 0, -8.0], rotation=[1, 0, 0, 0],
+                 fov_x=np.pi / 2, fov_y=np.pi / 2)
+    cp = camera_params(cam, img_size)
+    gt = np.random.default_rng(1).uniform(
+        0, 1, size=(args.size, args.size, 3)).astype(np.float32)
+
+    rates = {}
+    n = 1
+    while n <= len(devices):
+        mesh = make_mesh(devices[:n])
+        splats = from_random(rng, [-3, -3, -3], [3, 3, 3],
+                             count=args.splats, sh_degree=1,
+                             capacity=args.splats)
+        step_fn = make_sharded_train_step(
+            mesh, config, args.splats, img_size, 3,
+            splats.sh_coeffs.shape[1], block_size=512,
+        )
+        trainer = SplatTrainer(config)
+        state = shard_state(trainer.init_state(splats), mesh)
+        run = lambda s, i: step_fn(
+            s, jnp.asarray(gt), cp.viewmat, cp.focal, cp.pixel_center,
+            jnp.float32(config.lr_mean_at(i)), jnp.int32(i))
+        state, stats = run(state, 0)
+        stats.loss.block_until_ready()
+        times = []
+        for i in range(args.steps):
+            t0 = time.perf_counter()
+            state, stats = run(state, i + 1)
+            _ = float(stats.loss)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
+        rates[n] = 1.0 / dt
+        eff = rates[n] / (n * rates[1]) * 100.0
+        print(f"devices={n:2d}  {dt*1e3:8.1f} ms/step  {rates[n]:6.2f} it/s"
+              f"  scaling efficiency {eff:5.1f}%", flush=True)
+        n *= 2
+
+
+if __name__ == "__main__":
+    main()

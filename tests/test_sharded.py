@@ -109,6 +109,45 @@ def test_sharded_pallas_strip_matches_single_device():
         np.testing.assert_allclose(a, b, atol=5e-4, err_msg=f"param {key}")
 
 
+def test_sharded_pallas_strip_imbalanced_tiles():
+    """Load-imbalance case (SURVEY hard part #5): nearly every record lands
+    in ONE device's tile strip while the others are empty. The strip path
+    must still reproduce the single-device result."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    # Cluster all splats so they project into the top-left corner tiles.
+    splats = from_random(rng, [-2.0, -2.0, 0], [-1.2, -1.2, 0.5], count=64,
+                         sh_degree=0)
+    config = TrainConfig(warmup_steps=0)
+    img_size = (64, 64)  # 4x4 = 16 tiles over 8 devices
+    gt = rng.uniform(0, 1, size=(64, 64, 3)).astype(np.float32)
+    cam = Camera(position=[0, 0, -6], rotation=[1, 0, 0, 0], fov_x=1.0, fov_y=1.0)
+    cp = camera_params(cam, img_size)
+
+    trainer = SplatTrainer(config, raster_block_size=16)
+    state_1 = trainer.init_state(splats)
+    state_1, stats_1 = trainer.step(
+        state_1, SceneBatch(gt_image=gt, camera=cam, scene_extent=1.0))
+    assert int(stats_1.num_isects) > 0
+
+    step_fn = make_sharded_train_step(
+        mesh, config, splats.capacity, img_size, 3, splats.sh_coeffs.shape[1],
+        block_size=128, backend="pallas_interpret",
+    )
+    trainer2 = SplatTrainer(config)
+    state_8 = shard_state(trainer2.init_state(splats), mesh)
+    state_8, stats_8 = step_fn(
+        state_8, jnp.asarray(gt), cp.viewmat, cp.focal, cp.pixel_center,
+        jnp.float32(config.lr_mean_at(0)), jnp.int32(0),
+    )
+    assert abs(float(stats_1.loss) - float(stats_8.loss)) < 1e-5
+    assert int(stats_1.num_isects) == int(stats_8.num_isects)
+    np.testing.assert_allclose(
+        np.asarray(state_1.grad_2d_accum), np.asarray(state_8.grad_2d_accum),
+        atol=1e-4,
+    )
+
+
 def test_sharded_step_multiple_iterations():
     mesh = make_mesh()
     rng = np.random.default_rng(1)

@@ -98,6 +98,46 @@ def test_frame_and_views(server):
     assert thumb[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_eval_history_and_presets(server):
+    _post("/api/control", {"cmd": "eval"})
+    hist = []
+    for _ in range(300):
+        hist = json.loads(_get("/api/state")).get("eval_history", [])
+        if hist:
+            break
+        time.sleep(0.1)
+    assert hist and len(hist[0]) == 2  # [iter, psnr] pairs for the plot
+    assert np.isfinite(hist[0][1])
+
+    presets = json.loads(_get("/api/presets"))
+    assert isinstance(presets["presets"], list)
+
+
+def test_load_new_dataset(server):
+    created = {}
+
+    def factory(path):
+        ds = _tiny_dataset(n_views=5)
+        rng = np.random.default_rng(2)
+        splats = from_random(rng, [-1, -1, -1], [1, 1, 1], count=32,
+                             sh_degree=0)
+        worker = TrainWorker(ds, splats, TrainConfig(warmup_steps=0),
+                             server.render, block_size=16)
+        created["path"] = path
+        return ds, worker
+
+    server.session_factory = factory
+    _post("/api/load", {"path": "fake://five-views"})
+    assert created["path"] == "fake://five-views"
+    st = json.loads(_get("/api/state"))
+    assert st["num_views"] == 5
+    for _ in range(200):
+        if json.loads(_get("/api/state")).get("iter", 0) > 1:
+            break
+        time.sleep(0.1)
+    assert json.loads(_get("/api/state"))["iter"] > 1
+
+
 def test_controls(server):
     _post("/api/control", {"cmd": "pause"})
     for _ in range(300):
