@@ -43,12 +43,26 @@ from brush_tpu.ops.pallas.rasterize_fwd import (
 GRAD_ROWS = 16  # v_xy(2), v_conic(3), v_color(3), v_opac(1), 7 pad
 
 
-def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
+def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
+                     tiles_per_step: int = 1):
     def kernel(starts_ref, ends_ref, tile_ids_ref,
                packed_hbm, vout_ref, logt_ref, fidx_ref,
                grads_hbm,
                buf, gbuf, mbuf, in_sem, out_sem, m_sem):
-        t = pl.program_id(0)
+        # Several tiles per grid step (see rasterize_fwd): the sweep is
+        # strictly sequential within a step, so the cross-tile
+        # leading-boundary merge keeps its ordering guarantee.
+        step = pl.program_id(0)
+        for g in range(tiles_per_step):
+            _run_tile(step * tiles_per_step + g, g,
+                      starts_ref, ends_ref, tile_ids_ref, packed_hbm,
+                      vout_ref, logt_ref, fidx_ref, grads_hbm,
+                      buf, gbuf, mbuf, in_sem, out_sem, m_sem)
+
+    def _run_tile(t, g, starts_ref, ends_ref, tile_ids_ref,
+                  packed_hbm, vout_ref, logt_ref, fidx_ref,
+                  grads_hbm,
+                  buf, gbuf, mbuf, in_sem, out_sem, m_sem):
         start = starts_ref[t]
         end = ends_ref[t]
         base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
@@ -62,12 +76,12 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             [one, px, py, a_p[:, 0:1], a_p[:, 1:2], a_p[:, 2:3], zero, zero], axis=1
         )
 
-        v_out = vout_ref[0]                  # (P, 4)
+        v_out = vout_ref[g]                  # (P, 4)
         v_rgb = v_out[:, 0:3]                # (P, 3)
         v_a = v_out[:, 3:4]                  # (P, 1)
-        log_t_final = logt_ref[0]            # (P, 1)
+        log_t_final = logt_ref[g]            # (P, 1)
         t_final = jnp.exp(log_t_final)
-        fidx = fidx_ref[0]                   # (P, 1) int32
+        fidx = fidx_ref[g]                   # (P, 1) int32
 
         num_batches = jnp.where(
             end > start, pl.cdiv(end - base, k_lanes), 0
@@ -252,12 +266,13 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes", "interpret"),
+    static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
+                     "interpret", "tiles_per_step"),
 )
 def rasterize_bwd_pallas(
     packed, v_out_tiles, log_t, fidx, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
-    interpret: bool = False, grads_init=None,
+    interpret: bool = False, grads_init=None, tiles_per_step: int = 4,
 ):
     """Per-intersection gradients (GRAD_ROWS, MAX_ISECTS + K).
 
@@ -272,14 +287,25 @@ def rasterize_bwd_pallas(
     """
     assert max_isects % k_lanes == 0
     assert packed.shape[1] == max_isects + k_lanes
-    kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes)
+    g = max(1, min(tiles_per_step, num_tiles))
+    steps = -(-num_tiles // g)
+    tiles_pad = steps * g
+    if tiles_pad != num_tiles:
+        pad = tiles_pad - num_tiles
+        starts = jnp.pad(starts, (0, pad))
+        ends = jnp.pad(ends, (0, pad))
+        tile_ids = jnp.pad(tile_ids, (0, pad))
+        v_out_tiles = jnp.pad(v_out_tiles, ((0, pad), (0, 0), (0, 0)))
+        log_t = jnp.pad(log_t, ((0, pad), (0, 0)))
+        fidx = jnp.pad(fidx, ((0, pad), (0, 0)), constant_values=-1)
+    kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((1, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((g, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [starts, ends, tile_ids,
@@ -301,7 +327,7 @@ def rasterize_bwd_pallas(
         kernel_wrap = kernel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(steps,),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[

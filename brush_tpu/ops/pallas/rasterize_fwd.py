@@ -168,13 +168,24 @@ def _splat_basis(blk, center_x, center_y):
     return jnp.concatenate([b0, b1, b2, b3, b4, b5, zero, zero], axis=0)
 
 
-def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
+def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
+                 tiles_per_step: int = 1):
     n_buf = 2
 
     def kernel(starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                img_ref, logt_ref, fidx_ref,
                buf, sem):
-        t = pl.program_id(0)
+        # tiles_per_step > 1 amortizes the per-grid-step fixed cost (output
+        # block switching, setup) over several tiles; each tile's work is
+        # unchanged and runs sequentially within the step.
+        b = pl.program_id(0)
+        for g in range(tiles_per_step):
+            _run_tile(b * tiles_per_step + g, g,
+                      starts_ref, ends_ref, tile_ids_ref, packed_hbm,
+                      img_ref, logt_ref, fidx_ref, buf, sem)
+
+    def _run_tile(t, g, starts_ref, ends_ref, tile_ids_ref, packed_hbm,
+                  img_ref, logt_ref, fidx_ref, buf, sem):
         # Tile ranges are arbitrary (unaligned tile_bins); DMA windows snap
         # down to the lane-tiling boundary and masks cut the leading lanes.
         start = starts_ref[t]
@@ -281,42 +292,53 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int):
             dma(b_final % n_buf, b_final).wait()
 
         alpha_out = 1.0 - jnp.exp(log_t)
-        img_ref[0] = jnp.concatenate([rgb_r, rgb_g, rgb_b, alpha_out], axis=1)
-        logt_ref[0] = log_t
-        fidx_ref[0] = fidx
+        img_ref[g] = jnp.concatenate([rgb_r, rgb_g, rgb_b, alpha_out], axis=1)
+        logt_ref[g] = log_t
+        fidx_ref[g] = fidx
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes", "interpret"),
+    static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
+                     "interpret", "tiles_per_step"),
 )
 def rasterize_fwd_pallas(
     packed, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
-    interpret: bool = False,
+    interpret: bool = False, tiles_per_step: int = 4,
 ):
     """Forward rasterize. Returns (img (T,P,4), log_t (T,P), final_idx (T,P)).
 
     packed: (16, MAX_ISECTS) from pack_isect_splats. MAX_ISECTS must be a
-    multiple of k_lanes (pad the pool).
+    multiple of k_lanes (pad the pool). tiles_per_step groups several tiles
+    into one grid step to amortize per-step fixed costs.
     """
     assert max_isects % k_lanes == 0, "intersection pool must pad to k_lanes"
     assert packed.shape[1] == max_isects + k_lanes, (
         "packed pool must carry one extra K window (see pack_isect_splats)"
     )
-    kernel = _make_kernel(tiles_x, max_isects, k_lanes)
+    g = max(1, min(tiles_per_step, num_tiles))
+    steps = -(-num_tiles // g)
+    tiles_pad = steps * g
+    if tiles_pad != num_tiles:
+        # Padding tiles carry empty ranges; their outputs are sliced off.
+        pad = tiles_pad - num_tiles
+        starts = jnp.pad(starts, (0, pad))
+        ends = jnp.pad(ends, (0, pad))
+        tile_ids = jnp.pad(tile_ids, (0, pad))
+    kernel = _make_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((g, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -328,10 +350,11 @@ def rasterize_fwd_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, TILE_SIZE, 4), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, TILE_SIZE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, TILE_SIZE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((tiles_pad, TILE_SIZE, 4), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, TILE_SIZE, 1), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, TILE_SIZE, 1), jnp.int32),
         ],
         interpret=interpret,
     )(starts, ends, tile_ids, packed)
-    return img, log_t[..., 0], fidx[..., 0]
+    return (img[:num_tiles], log_t[:num_tiles, :, 0],
+            fidx[:num_tiles, :, 0])
