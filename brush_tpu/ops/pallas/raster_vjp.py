@@ -84,7 +84,9 @@ def make_pallas_pipeline(
     static pool (observability; VERDICT r1 weak #6).
     """
     raster_tiles = num_tiles if raster_tiles is None else raster_tiles
-    assert tiles_x <= 2047, "packed decode rows carry 11-bit tile coords"
+    # Packed decode rows carry 11-bit tile coords and a 10-bit bbox width
+    # (render.pack_decode_rows); bbox_w <= tiles_x must fit 10 bits.
+    assert tiles_x <= 1023, "image too wide for packed decode rows"
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     # Pack the slot id into the key's low bits when it fits: depth order
     # within a tile comes free and the backward re-sort key is recovered by

@@ -133,6 +133,23 @@ def from_dense(
     return Splats(n_live=jnp.asarray(n, jnp.int32), **_pad_to_capacity(arrs, n, cap))
 
 
+def from_safetensors(path_or_file, capacity: int | None = None) -> Splats:
+    """Load a splat model from a safetensors file.
+
+    Mirrors the reference's test-data loader (gaussian_splats.rs:208-223):
+    tensors `means` (n,3), `scales` = log scales (n,3), `coeffs` (n,c,3),
+    `quats` (n,4) wxyz, `opacities` = raw pre-sigmoid (n,).
+    """
+    from safetensors import safe_open
+
+    with safe_open(path_or_file, framework="np") as f:
+        t = {k: f.get_tensor(k) for k in f.keys()}
+    return from_dense(
+        t["means"], t["coeffs"], t["quats"], t["opacities"], t["scales"],
+        capacity=capacity,
+    )
+
+
 def knn_mean_distance(positions: np.ndarray, k: int = 3) -> np.ndarray:
     """Initial scale heuristic: sqrt(mean of k nearest squared dists) / k...
 

@@ -259,3 +259,27 @@ def test_max_frames_and_resolution():
     ds = load_dataset(data, LoadDatasetArgs(max_frames=2, max_resolution=16))
     assert len(ds.train.views) == 2
     assert ds.train.views[0].image.shape[0] == 16
+
+
+def test_from_safetensors_roundtrip(tmp_path):
+    # Reference parity: Splats::from_safetensors (gaussian_splats.rs:208-223).
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from brush_tpu.splats import from_safetensors
+
+    rng = np.random.default_rng(0)
+    n = 9
+    d = {
+        "means": rng.normal(size=(n, 3)).astype(np.float32),
+        "scales": rng.normal(size=(n, 3)).astype(np.float32),
+        "coeffs": rng.normal(size=(n, 4, 3)).astype(np.float32),
+        "quats": rng.normal(size=(n, 4)).astype(np.float32),
+        "opacities": rng.normal(size=(n,)).astype(np.float32),
+    }
+    p = str(tmp_path / "m.safetensors")
+    save_file(d, p)
+    s = from_safetensors(p)
+    assert int(s.n_live) == n and s.sh_count == 4
+    np.testing.assert_allclose(np.asarray(s.means[:n]), d["means"])
+    np.testing.assert_allclose(np.asarray(s.log_scales[:n]), d["scales"])
