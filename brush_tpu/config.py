@@ -65,6 +65,15 @@ class TrainConfig:
     # mean/scale and only an offset smaller copy is appended. False applies
     # the intended semantics (offset original, shrink both halves).
     faithful_split_bug: bool = False
+    # Shrink the padded splat capacity when the live count falls far below
+    # it (e.g. after the mass-prune that follows every opacity reset —
+    # measured: a 1M-capacity buffer carrying 75k live splats made steps
+    # ~3x slower than needed). Shrinks only at refine boundaries and only
+    # when capacity > shrink_factor * live, so grow/shrink cannot
+    # oscillate between adjacent refines. Each resize recompiles the step;
+    # on remote-compile TPU setups (minutes per compile) consider False.
+    shrink_capacity_on_refine: bool = True
+    shrink_factor: int = 4
 
     def lr_mean_at(self, step: int) -> float:
         decay = self.lr_mean_decay_target ** (1.0 / self.lr_mean_decay_steps)

@@ -277,7 +277,38 @@ class SplatTrainer:
         # Grow capacity when refinement could overflow next time.
         if 2 * n_live > cap:
             state = self._grow(state, max(2 * n_live, cap * 2))
+        elif (cfg.shrink_capacity_on_refine
+              and cap > cfg.shrink_factor * max(n_live, 1)):
+            # Compaction puts live rows first, so shrinking is a slice.
+            state = self._shrink(state, 2 * n_live)
         return state, stats
+
+    def _shrink(self, state: TrainState, new_cap: int) -> TrainState:
+        from brush_tpu.splats import round_up_capacity
+
+        new_cap = round_up_capacity(new_cap)
+        if new_cap >= state.splats.capacity:
+            return state
+
+        def cut(x):
+            return x[:new_cap]
+
+        sp = state.splats
+        splats = Splats(
+            means=cut(sp.means), sh_coeffs=cut(sp.sh_coeffs),
+            quats=cut(sp.quats), raw_opacity=cut(sp.raw_opacity),
+            log_scales=cut(sp.log_scales), n_live=sp.n_live,
+        )
+        opt = AdamState(
+            m={k: cut(v) for k, v in state.opt.m.items()},
+            v={k: cut(v) for k, v in state.opt.v.items()},
+            count=state.opt.count,
+        )
+        return TrainState(
+            splats=splats, opt=opt,
+            grad_2d_accum=cut(state.grad_2d_accum),
+            xy_grad_counts=cut(state.xy_grad_counts),
+        )
 
     def _grow(self, state: TrainState, new_cap: int) -> TrainState:
         from brush_tpu.splats import round_up_capacity

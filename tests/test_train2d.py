@@ -149,3 +149,33 @@ def test_refine_clone_split_prune():
     # Padding rows inert.
     live = int(new_state.splats.n_live)
     assert np.all(np.asarray(new_state.splats.raw_opacity)[live:] < -10)
+
+
+def test_capacity_shrinks_after_mass_prune():
+    # After an opacity-reset-style mass prune, a 4x-oversized capacity
+    # buffer must shrink (measured on hardware: 1M capacity carrying 75k
+    # live splats tripled the step time).
+    size = 32
+    target = synthetic_target(size)
+    cam = toy_camera(size)
+    config = TrainConfig(warmup_steps=0, refine_every=2,
+                         reset_alpha_every_refine=10**9)
+    rng = np.random.default_rng(0)
+    splats = from_random(rng, [-2, -2, -2], [2, 2, 2], count=900,
+                         sh_degree=0, capacity=1024)
+    # Make all but 40 splats transparent -> pruned at the first refine.
+    op = np.full(1024, -10.0, np.float32)
+    op[:40] = 1.0
+    splats = splats.replace(raw_opacity=jnp.asarray(op))
+    trainer = SplatTrainer(config, raster_block_size=16)
+    state = trainer.init_state(splats)
+    batch = SceneBatch(gt_image=target, camera=cam, scene_extent=1.0)
+    for _ in range(4):
+        state, _ = trainer.step(state, batch)
+    assert int(state.splats.n_live) < 100
+    assert state.splats.capacity <= 256, (
+        f"capacity {state.splats.capacity} did not shrink"
+    )
+    # Training still works after the shrink.
+    state, stats = trainer.step(state, batch)
+    assert np.isfinite(float(stats.loss))
