@@ -115,6 +115,12 @@ class SplatTrainer:
         self.last_refine_stats = None
         self._prev_stats: StepStats | None = None
         self.total_dropped_records = 0
+        # Device-resident ground-truth cache, keyed by the view's host
+        # array identity. Re-uploading the gt image every step both wastes
+        # host->device bandwidth and — through the axon tunnel — leaks the
+        # host transfer buffer (~13 MB/step at 800^2; a 30k-step run was
+        # host-OOM-killed at 130 GB RSS before this cache existed).
+        self._gt_cache: dict[int, tuple] = {}
 
     # ------------------------------------------------------------------ #
 
@@ -158,9 +164,16 @@ class SplatTrainer:
         step_fn = self._get_step_fn(state.splats.capacity, img_size, channels,
                                     state.splats.sh_count, pool)
 
+        key = id(batch.gt_image)
+        cached = self._gt_cache.get(key)
+        if cached is None:
+            cached = (batch.gt_image, jax.device_put(img))  # keep the host
+            self._gt_cache[key] = cached                     # ref so the id
+        gt_dev = cached[1]                                   # stays valid
+
         pre_splats = state.splats
         state, stats = step_fn(
-            state, jnp.asarray(img), cam, jnp.float32(lr_mean),
+            state, gt_dev, cam, jnp.float32(lr_mean),
             jnp.int32(self.iter),
         )
 
