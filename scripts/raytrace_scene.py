@@ -205,6 +205,11 @@ def render_view(scene, c2w, w, h, fov_x, chunk=1 << 16):
         spec = np.maximum((n * hvec).sum(axis=1), 0.0) ** 32
         spec = np.where(shadow, 0.0, spec) * gl
         rgb = alb * (scene["ambient"] + 0.85 * lam)[:, None] + spec[:, None]
+        # Missed rays MUST be exactly (0,0,0,0): _trace's argmin picks an
+        # arbitrary primitive for them, and shading that garbage leaves a
+        # gray background rgb under alpha=0 — which a premultiplied splat
+        # renderer cannot reproduce (the model grows a fog shell trying).
+        rgb = np.where(hit[:, None], rgb, 0.0)
         out[s:s + chunk, :3] = np.clip(rgb, 0.0, 1.0)
         out[s:s + chunk, 3] = hit
     return out.reshape(h, w, 4)
