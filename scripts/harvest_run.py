@@ -22,7 +22,7 @@ def main():
 
     from PIL import Image
 
-    from brush_tpu.datasets.loading import load_dataset
+    from brush_tpu.datasets.loading import LoadDatasetArgs, load_dataset
     from brush_tpu.datasets.ply import splats_to_ply
     from brush_tpu.eval import eval_view
     from brush_tpu.utils.checkpoint import load_checkpoint
@@ -35,7 +35,10 @@ def main():
         f.write(splats_to_ply(splats))
     print(f"wrote {prefix}.ply", flush=True)
 
-    ds = load_dataset(src)
+    split = None
+    if "--eval-split-every" in sys.argv:
+        split = int(sys.argv[sys.argv.index("--eval-split-every") + 1])
+    ds = load_dataset(src, LoadDatasetArgs(eval_split_every=split))
     scene = ds.eval or ds.train
     psnrs, ssims = [], []
     rows = []
