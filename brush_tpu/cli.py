@@ -207,11 +207,21 @@ def cmd_render(args):
     h, w = view.image.shape[:2]
     cam = camera_params(view.camera, (w, h))
     t0 = time.time()
-    img, aux = render_splats(
-        splats.means, splats.log_scales, splats.quats, splats.sh_coeffs,
-        splats.raw_opacity, cam, (w, h), active=splats.active_mask(),
-        block_size=args.block_size,
-    )
+    # One-shot render: grow the intersection pool until nothing drops
+    # (close-up cameras can cover far more tiles/splat than the default).
+    max_isects = None
+    for _ in range(4):
+        img, aux = render_splats(
+            splats.means, splats.log_scales, splats.quats, splats.sh_coeffs,
+            splats.raw_opacity, cam, (w, h), active=splats.active_mask(),
+            block_size=args.block_size, max_isects=max_isects,
+        )
+        dropped = int(aux.num_dropped)
+        if dropped == 0:
+            break
+        max_isects = 2 * (int(aux.num_isects) + dropped)
+        print(f"pool overflow ({dropped} records dropped) — retrying with "
+              f"max_isects={max_isects}")
     img = np.asarray(img)
     print(f"rendered {w}x{h} in {time.time()-t0:.2f}s "
           f"(visible={int(aux.num_visible)}, isects={int(aux.num_isects)})")
