@@ -167,6 +167,8 @@ class SplatTrainer:
         key = id(batch.gt_image)
         cached = self._gt_cache.get(key)
         if cached is None:
+            if len(self._gt_cache) >= 1024:  # bound device HBM for huge sets
+                self._gt_cache.clear()
             cached = (batch.gt_image, jax.device_put(img))  # keep the host
             self._gt_cache[key] = cached                     # ref so the id
         gt_dev = cached[1]                                   # stays valid
