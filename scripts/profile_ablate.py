@@ -1,5 +1,10 @@
 """Subtractive ablation of the full pallas render jit on the real chip.
 
+NOTE: written against the round-1 pipeline (22-array depth sort, unpacked
+decode rows); the round-2 pipeline packs decode into 5 u32 rows and sorts
+16 arrays (ops/pallas/raster_vjp.py). Update the stage bodies before
+trusting new measurements.
+
 Each variant truncates the pipeline after stage X and returns reductions of
 everything computed so far (keeps all prior compute live under DCE).
 Marginal stage costs = successive differences.
