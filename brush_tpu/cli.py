@@ -222,6 +222,9 @@ def cmd_render(args):
         max_isects = 2 * (int(aux.num_isects) + dropped)
         print(f"pool overflow ({dropped} records dropped) — retrying with "
               f"max_isects={max_isects}")
+    if dropped > 0:
+        print(f"WARNING: {dropped} records still dropped after pool growth; "
+              "the output image is TRUNCATED (far geometry missing)")
     img = np.asarray(img)
     print(f"rendered {w}x{h} in {time.time()-t0:.2f}s "
           f"(visible={int(aux.num_visible)}, isects={int(aux.num_isects)})")

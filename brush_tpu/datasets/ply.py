@@ -88,6 +88,41 @@ def read_ply_vertices(data: bytes) -> dict[str, np.ndarray]:
 def load_splats_from_ply(data: bytes, capacity: int | None = None) -> Splats:
     """(splat_import.rs:183-290)."""
     verts = read_ply_vertices(data)
+    return _verts_to_splats(verts, capacity)
+
+
+def load_splats_from_ply_stream(data: bytes, chunk: int = 50_000,
+                                capacity: int | None = None):
+    """Progressive import: yield growing Splats every `chunk` vertices.
+
+    Mirrors the reference's chunked emission during .ply loads
+    (splat_import.rs:261-280, SPLATS_PER_CHUNK = 50k) so a viewer can show
+    partial splats while a large file parses. Binary encodings parse
+    incrementally; ascii falls back to a single final yield.
+    """
+    encoding, elements, body = _parse_header(data)
+    if encoding == "ascii":
+        yield load_splats_from_ply(data, capacity)
+        return
+    byte_order = "<" if encoding == "binary_little_endian" else ">"
+    offset = 0
+    for name, count, props in elements:
+        dt = np.dtype([(p, byte_order + _DTYPES[t]) for p, t in props])
+        if name != "vertex":
+            offset += dt.itemsize * count
+            continue
+        for upto in range(min(chunk, count), count + 1, chunk):
+            if count - upto < chunk:
+                upto = count
+            arr = np.frombuffer(body, dtype=dt, count=upto, offset=offset)
+            verts = {p: arr[p].astype(np.float32) for p, _t in props}
+            yield _verts_to_splats(verts, capacity)
+            if upto == count:
+                return
+    raise ValueError("Invalid ply: no vertex element")
+
+
+def _verts_to_splats(verts: dict, capacity: int | None = None) -> Splats:
     for p in MIN_PROPS:
         if p not in verts:
             raise ValueError(f"Invalid splat ply. Missing property {p}")

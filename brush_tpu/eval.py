@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -49,6 +50,13 @@ def eval_view(
         if dropped == 0:
             break
         max_isects = 2 * (int(aux.num_isects) + dropped)
+    if dropped > 0:
+        # Never report a truncated render as a clean score: this is the
+        # exact silent-collapse failure mode the retry loop exists to catch.
+        logging.getLogger(__name__).warning(
+            "eval_view: %d records still dropped after pool growth; "
+            "PSNR/SSIM are computed on a TRUNCATED render", dropped,
+        )
     render_rgb = img[..., :3]
     gt_rgb = jnp.asarray(gt_image[..., :3], jnp.float32)
     mse = jnp.mean((render_rgb - gt_rgb) ** 2)

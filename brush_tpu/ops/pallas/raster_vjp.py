@@ -85,8 +85,11 @@ def make_pallas_pipeline(
     """
     raster_tiles = num_tiles if raster_tiles is None else raster_tiles
     # Packed decode rows carry 11-bit tile coords and a 10-bit bbox width
-    # (render.pack_decode_rows); bbox_w <= tiles_x must fit 10 bits.
+    # (render.pack_decode_rows); bbox_w <= tiles_x must fit 10 bits and
+    # tile_min y must fit its 11-bit field or the packed coordinate would
+    # silently wrap and corrupt decode state.
     assert tiles_x <= 1023, "image too wide for packed decode rows"
+    assert num_tiles <= tiles_x * 2047, "image too tall for packed decode rows"
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     # Pack the slot id into the key's low bits when it fits: depth order
     # within a tile comes free and the backward re-sort key is recovered by

@@ -120,7 +120,11 @@ class SplatTrainer:
         # host->device bandwidth and — through the axon tunnel — leaks the
         # host transfer buffer (~13 MB/step at 800^2; a 30k-step run was
         # host-OOM-killed at 130 GB RSS before this cache existed).
+        # LRU-evicted on a byte budget (not an entry count): 1024 cached
+        # 1920x1080 f32 views would be ~24 GB of HBM — more than a v5e chip.
         self._gt_cache: dict[int, tuple] = {}
+        self._gt_cache_bytes = 0
+        self.gt_cache_byte_budget = 2 << 30
 
     # ------------------------------------------------------------------ #
 
@@ -167,11 +171,22 @@ class SplatTrainer:
         key = id(batch.gt_image)
         cached = self._gt_cache.get(key)
         if cached is None:
-            if len(self._gt_cache) >= 1024:  # bound device HBM for huge sets
-                self._gt_cache.clear()
-            cached = (batch.gt_image, jax.device_put(img))  # keep the host
-            self._gt_cache[key] = cached                     # ref so the id
-        gt_dev = cached[1]                                   # stays valid
+            entry_bytes = img.nbytes
+            while (self._gt_cache
+                   and self._gt_cache_bytes + entry_bytes
+                   > self.gt_cache_byte_budget):
+                # Evict least-recently-used (dict preserves insertion order;
+                # hits re-insert below, so the front is the LRU entry).
+                old = self._gt_cache.pop(next(iter(self._gt_cache)))
+                self._gt_cache_bytes -= old[2]
+            cached = (batch.gt_image, jax.device_put(img),   # keep the host
+                      entry_bytes)                           # ref so the id
+            self._gt_cache[key] = cached                     # stays valid
+            self._gt_cache_bytes += entry_bytes
+        else:
+            self._gt_cache.pop(key)          # refresh LRU position
+            self._gt_cache[key] = cached
+        gt_dev = cached[1]
 
         pre_splats = state.splats
         state, stats = step_fn(

@@ -214,6 +214,9 @@ class ViewerServer:
         self.session_factory = session_factory
         self.preset_dirs = preset_dirs
         self._httpd: ThreadingHTTPServer | None = None
+        # Guards worker/dataset swaps against concurrent request threads
+        # (ThreadingHTTPServer serves each request on its own thread).
+        self._session_lock = threading.Lock()
 
     def _presets(self) -> dict:
         """Dataset zips discoverable on this machine (Presets panel)."""
@@ -227,12 +230,21 @@ class ViewerServer:
     def load_source(self, path: str) -> None:
         if self.session_factory is None:
             raise RuntimeError("viewer started without a session factory")
-        if self.worker is not None:
-            self.worker.stop()
-            self.worker.join(timeout=30)
-        self.dataset, self.worker = self.session_factory(path)
-        if self.worker is not None:
-            self.worker.start()
+        with self._session_lock:
+            if self.worker is not None:
+                self.worker.stop()
+                self.worker.join(timeout=30)
+                if self.worker.is_alive():
+                    # Still inside a long compile/step: starting a second
+                    # worker would race two trainers on the same
+                    # RenderService and device. Refuse instead.
+                    raise RuntimeError(
+                        "previous training worker has not stopped yet "
+                        "(likely mid-compile); retry in a moment"
+                    )
+            self.dataset, self.worker = self.session_factory(path)
+            if self.worker is not None:
+                self.worker.start()
 
     # ------------------------------------------------------------------ #
 
@@ -401,10 +413,13 @@ def run_viewer(source=None, ply=None, train=True, port=8642,
     dataset = None
     worker = None
     if ply:
-        from brush_tpu.datasets.ply import load_splats_from_ply
+        from brush_tpu.datasets.ply import load_splats_from_ply_stream
 
         with open(ply, "rb") as f:
-            render.publish(load_splats_from_ply(f.read()))
+            # Progressive display during large loads (splat_import.rs:261-280:
+            # the reference emits partial splats every 50k vertices).
+            for partial in load_splats_from_ply_stream(f.read()):
+                render.publish(partial)
     if source:
         if ply:
             dataset = load_dataset(source, LoadDatasetArgs(

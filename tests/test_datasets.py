@@ -223,6 +223,25 @@ def test_ply_roundtrip():
     )
 
 
+def test_ply_stream_chunks():
+    """Progressive import yields growing prefixes (splat_import.rs:261-280)."""
+    from brush_tpu.datasets.ply import load_splats_from_ply_stream
+
+    rng = np.random.default_rng(5)
+    splats = from_random(rng, [-1, -1, -1], [1, 1, 1], count=25, sh_degree=1)
+    data = splats_to_ply(splats)
+    partials = list(load_splats_from_ply_stream(data, chunk=10))
+    assert [int(p.n_live) for p in partials] == [10, 25]
+    np.testing.assert_allclose(
+        np.asarray(partials[0].means[:10]), np.asarray(splats.means[:10]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(partials[-1].means[:25]), np.asarray(splats.means[:25]),
+        atol=1e-6,
+    )
+
+
 def test_init_ply_takes_precedence():
     rng = np.random.default_rng(4)
     splats = from_random(rng, [-1, -1, -1], [1, 1, 1], count=7, sh_degree=0)
