@@ -10,32 +10,30 @@ what the hardware is good at:
   depth order), so a block of K consecutive slots only touches a contiguous
   window of <= K+1 splats: the kernel DMAs that window and selects each
   slot's splat row with a (W, K) one-hot product. XLA's gather costs ~20ns
-  *per index* on TPU; the matmul moves the same data at MXU throughput,
-  and HIGHEST (bf16x6) precision reproduces f32 rows bit-exactly (one-hot
-  rows have a single 1, so no cross-term accumulates).
+  *per index* on TPU; the matmul moves the same data at MXU throughput.
+- exactness via ONE bf16 matmul over pre-split component rows: every
+  per-splat quantity is decomposed host-side (in XLA, once per frame) into
+  bf16-exact components — three 8-bit-mantissa pieces per f32, two byte
+  pieces per u16 field, three bytes for the 24-bit slot offset — and the
+  components are STACKED AS ROWS of a single (48, W) bf16 operand. One
+  (48, W) @ (W, K) product replaces round 2's three full-precision passes
+  over 24 f32 rows: half the MXU tile-work, one matmul issue, and the
+  hi/mid/lo splitting moves out of the kernel's critical path (windows
+  overlap ~1.5x, so in-kernel splitting also duplicated work).
 - the one-hot comes from ONE compare: sublane iota vs the slot's compact
   splat id (a monotone (1, max_isects) i32 array built in XLA with one
   scatter-add + cumsum, the same segment trick the reference gets from its
   exclusive-scan offsets in map_gaussian_to_intersects.wgsl:33-47).
 - the rank -> tile decode (select the rank-th set bit of the splat's exact
   coverage bitmask, ops/binning.py pretest) runs on (1, K) lane vectors —
-  a few hundred VPU ops per block.
-- output is the sort key (tile_id << slot_bits | slot) plus the splat's
-  raster attributes as rows, ready to ride through one XLA variadic
-  sort_key_val — carrying payloads through the sort costs ~3x a key-only
-  sort while a post-sort row gather costs ~30x.
-
-Input rows (EXP_IN_ROWS, n_pad) f32, in depth-compact order (integers stored
-as exact f32 values — everything is < 2^24):
-
-  0-8   x, y, cxx, cxy, cyy, r, g, b, opac   (raster attributes)
-  9-11  tmin_x, tmin_y, bbox_w
-  12-15 mask bits 0-15, 16-31, 32-47, 48-63  (16-bit halves)
-  16-17 byte-popcount nibbles 0-3, 4-7
-  18    small flag (1 = bitmask authoritative, 0 = conservative bbox)
-  19    slot offset (exclusive cumsum of counts)
-  20    compact splat id (gid)
-  21-23 padding
+  a few hundred VPU ops per block. Byte popcounts are computed in-kernel
+  from the mask halves (round 2 carried them through the depth sort as a
+  packed payload row; deriving them here shaves a pool-scale sort row).
+- output is the tile-id sort key plus the splat's raster attributes PACKED
+  into the 8-row u32 record layout (see rasterize_fwd.py), ready to ride
+  one stable XLA variadic sort — 7 attribute rows instead of round 2's 9,
+  and no slot payload: records leave this kernel in slot (= depth) order,
+  so a stable tile-only sort preserves depth order within each tile.
 """
 
 from __future__ import annotations
@@ -47,32 +45,103 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EXP_IN_ROWS = 24
-EXP_OUT_ROWS = 16  # 0-8 attrs, 9 gid, 10-15 zero padding
+from brush_tpu.ops.pallas.rasterize_fwd import PACK_ROWS
+
+COMP_ROWS = 48     # 40 used component rows, padded to the bf16 sublane tile
 WINDOW_ALIGN = 128  # lane alignment for the splat-window DMAs
 
 
-def _select_bit_lanes(m0, m1, m2, m3, pc_lo, pc_hi, rank):
+def _split_f32(v):
+    """f32 -> three bf16 components summing exactly back to v."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return [hi, mid, lo]
+
+
+def _split_u16(v):
+    """u16-valued uint32 -> two byte components (exact in bf16)."""
+    b = lambda x: x.astype(jnp.float32).astype(jnp.bfloat16)
+    return [b(v >> 8), b(v & jnp.uint32(0xFF))]
+
+
+def _split_u24(v):
+    """u24-valued int -> three byte components (exact in bf16)."""
+    v = v.astype(jnp.uint32)
+    b = lambda x: x.astype(jnp.float32).astype(jnp.bfloat16)
+    return [b(v >> 16), b((v >> 8) & jnp.uint32(0xFF)), b(v & jnp.uint32(0xFF))]
+
+
+def build_comp_rows(x, y, cxx, cxy, cyy, colop0, colop1,
+                    tmin_x, tmin_y, bws, m_lo, m_hi, offsets, n_pad: int):
+    """(COMP_ROWS, n_pad) bf16 component stack for the expand matmul.
+
+    Inputs are (n,) arrays in depth-compact order: f32 x/y/conic, packed u32
+    color pairs (quantize_color/quantize_opac halves), u32 tile-decode
+    fields (bws = bbox_w | small << 10), u32 mask halves, i32 slot offsets.
+    """
+    m16 = jnp.uint32(0xFFFF)
+    rows = (
+        _split_f32(x) + _split_f32(y)
+        + _split_f32(cxx) + _split_f32(cxy) + _split_f32(cyy)
+        + _split_u16(colop0 & m16) + _split_u16(colop0 >> 16)
+        + _split_u16(colop1 & m16) + _split_u16(colop1 >> 16)
+        + _split_u16(tmin_x) + _split_u16(tmin_y) + _split_u16(bws)
+        + _split_u16(m_lo & m16) + _split_u16(m_lo >> 16)
+        + _split_u16(m_hi & m16) + _split_u16(m_hi >> 16)
+        + _split_u24(offsets)
+    )
+    assert len(rows) == 40
+    comps = jnp.stack(rows, axis=0)
+    comps = jnp.pad(comps, ((0, COMP_ROWS - 40), (0, n_pad - x.shape[0])))
+    return comps
+
+
+def _c3(o, i):
+    """f32 value from 3 split components."""
+    return o[i:i + 1] + o[i + 1:i + 2] + o[i + 2:i + 3]
+
+
+def _c2(o, i):
+    """Integer-valued f32 from 2 byte components."""
+    return o[i:i + 1] * 256.0 + o[i + 1:i + 2]
+
+
+def _c2i(o, i):
+    return _c2(o, i).astype(jnp.int32)
+
+
+def _popcount8(b):
+    c = jnp.zeros_like(b)
+    for k in range(8):
+        c = c + ((b >> k) & 1)
+    return c
+
+
+def _select_bit_lanes(m0, m1, m2, m3, rank):
     """Rank-th set bit of the 64-bit mask given as four 16-bit halves.
 
     All operands are (1, K) int32 lane vectors; mirrors
-    ops/binning._select_bit but on 16-bit mask pieces (they arrive through
-    the one-hot matmul, which keeps values < 2^16 exact).
+    ops/binning._select_bit. Byte popcounts are derived here (SWAR on
+    lanes) instead of riding the depth sort as a packed payload row.
     """
+    halves = [m0, m1, m2, m3]
     acc = jnp.zeros_like(rank)
     sel_byte = jnp.zeros_like(rank)
     r_in = rank
+    byts = []
     for j in range(8):
-        src = pc_lo if j < 4 else pc_hi
-        cj = (src >> (4 * (j % 4))) & 15
+        bj = (halves[j // 2] >> (8 * (j % 2))) & 255
+        byts.append(bj)
+        cj = _popcount8(bj)
         take = (rank >= acc) & (rank < acc + cj)
         sel_byte = jnp.where(take, j, sel_byte)
         r_in = jnp.where(take, rank - acc, r_in)
         acc = acc + cj
-    half = jnp.where(
-        sel_byte < 2, m0, jnp.where(sel_byte < 4, m1, jnp.where(sel_byte < 6, m2, m3))
-    )
-    byte = (half >> (8 * (sel_byte & 1))) & 255
+    byte = byts[0]
+    for j in range(1, 8):
+        byte = jnp.where(sel_byte == j, byts[j], byte)
 
     cum = jnp.zeros_like(rank)
     pos_in = jnp.zeros_like(rank)
@@ -95,11 +164,11 @@ def _floor_div_lanes(a_int, b_int):
     return y
 
 
-def _make_expand_kernel(tiles_x: int, num_tiles: int, slot_bits: int,
+def _make_expand_kernel(tiles_x: int, num_tiles: int,
                         n: int, k_exp: int, window: int):
     n_buf = 2
 
-    def kernel(s_lo_ref, total_ref, attrs_hbm, splat_hbm,
+    def kernel(s_lo_ref, total_ref, comps_hbm, splat_hbm,
                key_ref, out_ref,
                abuf, sbuf, sem,
                ):
@@ -113,7 +182,7 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int, slot_bits: int,
             s = pl.multiple_of(s_lo_ref[blk], WINDOW_ALIGN)
             return (
                 pltpu.make_async_copy(
-                    attrs_hbm.at[:, pl.ds(s, window)],
+                    comps_hbm.at[:, pl.ds(s, window)],
                     abuf.at[slot_idx], sem.at[slot_idx, 0],
                 ),
                 pltpu.make_async_copy(
@@ -139,81 +208,65 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int, slot_bits: int,
 
             for c in dma(b % n_buf, b):
                 c.wait()
-            attrs_w = abuf[b % n_buf]                          # (24, W)
+            comps_w = abuf[b % n_buf]                          # (48, W) bf16
             s_al = pl.multiple_of(s_lo_ref[b], WINDOW_ALIGN)
             local = sbuf[b % n_buf] - s_al                     # (1, K) i32
 
             # One-hot slot->splat selector from ONE compare: window sublane
-            # iota vs the slot's window-local compact splat id.
+            # iota vs the slot's window-local compact splat id. Exact in
+            # bf16 (single 1 per column), so ONE matmul over the pre-split
+            # component rows reconstructs every field exactly.
             sub = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
-            oh = (sub == local).astype(jnp.bfloat16)           # (W, K), exact
-
-            # Exact f32 gather in 3 bf16 passes (instead of HIGHEST's 6):
-            # the one-hot is exact in bf16, and the attr rows split into
-            # three bf16 components that sum exactly to the f32 value. Each
-            # product selects a single component, so no cross-term ever
-            # accumulates and the sum reconstructs the f32 row bit-exactly.
-            a_hi = attrs_w.astype(jnp.bfloat16)
-            r1 = attrs_w - a_hi.astype(jnp.float32)
-            a_mid = r1.astype(jnp.bfloat16)
-            a_lo = (r1 - a_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            oh = (sub == local).astype(jnp.bfloat16)           # (W, K)
             dn = (((1,), (0,)), ((), ()))
-            out = (
-                jax.lax.dot_general(a_hi, oh, dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(a_mid, oh, dn,
-                                      preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(a_lo, oh, dn,
-                                      preferred_element_type=jnp.float32)
-            )                                                  # (24, K)
+            out = jax.lax.dot_general(
+                comps_w, oh, dn, preferred_element_type=jnp.float32
+            )                                                  # (48, K) f32
 
             # Per-slot decode on (1, K) lane vectors.
             valid = slots < total
-            rank = slots - out[19:20].astype(jnp.int32)
-            m0 = out[12:13].astype(jnp.int32)
-            m1 = out[13:14].astype(jnp.int32)
-            m2 = out[14:15].astype(jnp.int32)
-            m3 = out[15:16].astype(jnp.int32)
-            pc_lo = out[16:17].astype(jnp.int32)
-            pc_hi = out[17:18].astype(jnp.int32)
-            small = out[18:19] > 0.5
+            offs = (out[37:38] * 65536.0 + out[38:39] * 256.0
+                    + out[39:40]).astype(jnp.int32)
+            rank = slots - offs
+            m0 = _c2i(out, 29)
+            m1 = _c2i(out, 31)
+            m2 = _c2i(out, 33)
+            m3 = _c2i(out, 35)
+            bws = _c2i(out, 27)
+            small = bws >= 1024
+            w_i = bws & 1023
             pos = jnp.where(
-                small, _select_bit_lanes(m0, m1, m2, m3, pc_lo, pc_hi, rank),
-                rank,
+                small, _select_bit_lanes(m0, m1, m2, m3, rank), rank
             )
-            w_i = out[11:12].astype(jnp.int32)
             dy = _floor_div_lanes(pos, w_i)
             dx = pos - dy * w_i
             tile = (
-                (out[10:11].astype(jnp.int32) + dy) * tiles_x
-                + out[9:10].astype(jnp.int32) + dx
+                (_c2i(out, 25) + dy) * tiles_x + _c2i(out, 23) + dx
             )
-            key = jnp.where(valid, tile, num_tiles).astype(jnp.uint32)
-            if slot_bits > 0:
-                key = (key << slot_bits) | slots.astype(jnp.uint32)
-            key_ref[0:1] = key
+            key_ref[0:1] = jnp.where(valid, tile, num_tiles).astype(jnp.uint32)
 
-            gid = jnp.where(valid, out[20:21], float(n))
-            zeros = jnp.zeros((EXP_OUT_ROWS - 10, k_exp), jnp.float32)
-            out_ref[:, :] = jnp.concatenate([out[0:9], gid, zeros], axis=0)
+            # Packed record rows (see rasterize_fwd.PACK_ROWS layout).
+            bc = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+            u = lambda v: v.astype(jnp.uint32)
+            colop0 = u(_c2(out, 15)) | (u(_c2(out, 17)) << 16)
+            colop1 = u(_c2(out, 19)) | (u(_c2(out, 21)) << 16)
+            splat = jnp.where(valid, sbuf[b % n_buf], n).astype(jnp.uint32)
+            out_ref[:, :] = jnp.concatenate(
+                [bc(_c3(out, 0)), bc(_c3(out, 3)), bc(_c3(out, 6)),
+                 bc(_c3(out, 9)), bc(_c3(out, 12)),
+                 colop0, colop1, splat],
+                axis=0,
+            )
 
         @pl.when(jnp.logical_not(live))
         def _():
             # Entire block past the end: sentinel keys sort to the back,
-            # records scatter to the dropped splat id n.
-            if slot_bits > 0:
-                sentinel = (
-                    (jnp.uint32(num_tiles) << slot_bits)
-                    | slots.astype(jnp.uint32)
-                )
-            else:
-                sentinel = jnp.full((1, k_exp), num_tiles, jnp.uint32)
-            key_ref[0:1] = sentinel
+            # records carry the dropped splat id n.
+            key_ref[0:1] = jnp.full((1, k_exp), num_tiles, jnp.uint32)
             out_ref[:, :] = jnp.concatenate(
                 [
-                    jnp.zeros((9, k_exp), jnp.float32),
-                    jnp.full((1, k_exp), float(n), jnp.float32),
-                    jnp.zeros((EXP_OUT_ROWS - 10, k_exp), jnp.float32),
+                    jnp.zeros((PACK_ROWS - 1, k_exp), jnp.uint32),
+                    jnp.full((1, k_exp), n, jnp.uint32),
                 ],
                 axis=0,
             )
@@ -224,36 +277,34 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int, slot_bits: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "tiles_x", "num_tiles", "slot_bits", "n", "max_isects", "k_exp",
-        "interpret",
+        "tiles_x", "num_tiles", "n", "max_isects", "k_exp", "interpret",
     ),
 )
 def expand_pallas(
-    attrs_t, splat_c, s_lo, total,
-    tiles_x: int, num_tiles: int, slot_bits: int, n: int, max_isects: int,
+    comps, splat_c, s_lo, total,
+    tiles_x: int, num_tiles: int, n: int, max_isects: int,
     k_exp: int = 512, interpret: bool = False,
 ):
     """Expand depth-ordered splat rows into per-slot (key, record) arrays.
 
-    attrs_t: (EXP_IN_ROWS, n_pad) f32 — see module docstring.
+    comps: (COMP_ROWS, n_pad) bf16 — see build_comp_rows.
     splat_c: (1, max_isects) i32 — compact splat id per slot (monotone).
     s_lo: (num_blocks,) i32 — WINDOW_ALIGN-aligned splat-window start per
       slot block (= splat_c at the block's first slot, rounded down).
     total: (1,) i32 — number of live slots.
 
-    Returns (keys (max_isects,) uint32, records (EXP_OUT_ROWS, max_isects)).
+    Returns (keys (max_isects,) uint32 tile ids,
+             records (PACK_ROWS, max_isects) uint32 in slot order).
     """
     assert max_isects % k_exp == 0
     window = k_exp + 2 * WINDOW_ALIGN
-    assert attrs_t.shape[0] == EXP_IN_ROWS
-    assert attrs_t.shape[1] >= window and attrs_t.shape[1] % WINDOW_ALIGN == 0
+    assert comps.shape[0] == COMP_ROWS and comps.dtype == jnp.bfloat16
+    assert comps.shape[1] >= window and comps.shape[1] % WINDOW_ALIGN == 0
     assert splat_c.shape == (1, max_isects)
     num_blocks = max_isects // k_exp
     assert s_lo.shape == (num_blocks,)
 
-    kernel = _make_expand_kernel(
-        tiles_x, num_tiles, slot_bits, n, k_exp, window
-    )
+    kernel = _make_expand_kernel(tiles_x, num_tiles, n, k_exp, window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_blocks,),
@@ -264,11 +315,11 @@ def expand_pallas(
         out_specs=[
             pl.BlockSpec((1, k_exp), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((EXP_OUT_ROWS, k_exp), lambda b, *_: (0, b),
+            pl.BlockSpec((PACK_ROWS, k_exp), lambda b, *_: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, EXP_IN_ROWS, window), jnp.float32),
+            pltpu.VMEM((2, COMP_ROWS, window), jnp.bfloat16),
             pltpu.VMEM((2, 1, k_exp), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -278,8 +329,8 @@ def expand_pallas(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, max_isects), jnp.uint32),
-            jax.ShapeDtypeStruct((EXP_OUT_ROWS, max_isects), jnp.float32),
+            jax.ShapeDtypeStruct((PACK_ROWS, max_isects), jnp.uint32),
         ],
         interpret=interpret,
-    )(s_lo, total, attrs_t, splat_c)
+    )(s_lo, total, comps, splat_c)
     return keys[0], recs

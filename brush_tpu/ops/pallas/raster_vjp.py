@@ -6,26 +6,42 @@ inside one custom-VJP boundary (autodiff never sees the sorts — JAX's
 sort transpose would otherwise emit one scatter per payload, ~200ms at 1M
 splats):
 
-  1. one variadic stable sort on bitcast-u32 depth keys carries the 9
-     raster attributes + decode ints as payloads (payloads cost ~3x a
-     key-only sort; per-attribute gathers cost ~20ns per index);
+  1. one variadic stable sort on bitcast-u32 depth keys carries every
+     per-splat attribute as payload (payloads dominate sort cost at
+     ~2.1 ms/pool-scale array; per-attribute gathers cost ~20ns per
+     index). Color+opacity are quantized to u16 halves and packed two-to-
+     a-row BEFORE this sort (rasterize_fwd.quantize_*), so the payload is
+     12 rows (5 f32 xy/conic + 2 packed colop + 4 packed decode + order)
+     instead of round 2's 15;
   2. expand_pallas: one-hot MXU expansion of the depth-ordered rows into
-     per-intersection records + tile sort keys (ops/pallas/expand.py);
-  3. a second variadic sort groups records by tile, carrying the record
-     attributes and the expansion slot id;
+     per-intersection PACKED u32 records + tile sort keys
+     (ops/pallas/expand.py) — the records leave in slot (= depth) order;
+  3. a second (stable) variadic sort groups records by tile id. Stability
+     preserves depth order within each tile, so no slot payload rides
+     along: 8 packed rows instead of round 2's 10;
   4. rasterize_fwd_pallas over *unaligned* tile ranges (tile_bins used
      directly; DMA windows snap down to lane boundaries).
 
 Backward:
   1. rasterize_bwd_pallas emits per-record gradient rows in tile order;
-  2. a variadic sort on the carried slot ids restores slot order — where
-     records of one splat are contiguous by construction;
+  2. a variadic sort on the carried compact splat ids (packed record row
+     7) groups each splat's gradient records contiguously — and because
+     compact ids are assigned in depth order, the sorted id sequence IS
+     the slot->compact map splat_c, so the windowed segment-sum applies
+     directly;
   3. segment_sum_pallas reduces them per splat with one-hot MXU products
      (ops/pallas/segsum.py) — replacing both the reference's global float
      atomics (rasterize_backwards.wgsl:47-135) and an XLA scatter-add
      (~100ns/index at pool scale);
   4. one small key sort inverts the depth permutation and a single row
      gather returns the per-splat cotangents to global order.
+
+Quantization note: color rides the pipeline as u16 fixed-point over
+[COLOR_LO, COLOR_HI] (step ~1.2e-4) and opacity over [0, 1] (step
+1.5e-5) — far inside the golden-test tolerances vs the f32 oracle. The
+backward computes gradients at the quantized values and returns them for
+the unquantized inputs (straight-through; the quantizer is the identity
+to within one step).
 """
 
 from __future__ import annotations
@@ -38,14 +54,16 @@ import jax
 import jax.numpy as jnp
 
 from brush_tpu.ops.pallas.expand import (
-    EXP_IN_ROWS,
     WINDOW_ALIGN,
+    build_comp_rows,
     expand_pallas,
 )
 from brush_tpu.ops.pallas.rasterize_bwd import GRAD_ROWS, rasterize_bwd_pallas
 from brush_tpu.ops.pallas.rasterize_fwd import (
     PACK_ROWS,
     pack_isect_splats,
+    quantize_color,
+    quantize_opac,
     rasterize_fwd_pallas,
 )
 from brush_tpu.ops.pallas.segsum import SEG_ROWS, segment_sum_pallas
@@ -62,7 +80,7 @@ DEBUG_GRAD_POOL_FILL: float | None = None
 def make_pallas_pipeline(
     tiles_x: int, num_tiles: int, max_isects: int, n: int,
     k_lanes: int = 512, k_exp: int = 512, raster_tiles: int | None = None,
-    interpret: bool = False,
+    interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
 ):
     """Full record pipeline as one custom-VJP function.
 
@@ -70,7 +88,7 @@ def make_pallas_pipeline(
     (img_tiles, order, total, raw_total) where
       attrs9: (9, n) f32, GLOBAL order — x, y, cxx, cxy, cyy, r, g, b,
         opac (differentiable);
-      decode: (5, n) uint32, global order — packed per-splat decode state
+      decode: (4, n) uint32, global order — packed per-splat decode state
         (render.pack_decode_rows layout; stop-gradient);
       depth_key: (n,) uint32 — bitcast depth, 0xFFFFFFFF for non-producing;
       tile_ids: (raster_tiles,) i32 tile id per grid step — an ASCENDING
@@ -90,62 +108,52 @@ def make_pallas_pipeline(
     # silently wrap and corrupt decode state.
     assert tiles_x <= 1023, "image too wide for packed decode rows"
     assert num_tiles <= tiles_x * 2047, "image too tall for packed decode rows"
-    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
-    # Pack the slot id into the key's low bits when it fits: depth order
-    # within a tile comes free and the backward re-sort key is recovered by
-    # masking. Otherwise sort tile-only keys stably with the slot carried
-    # as a payload.
-    slot_bits = 32 - tile_bits if max_isects <= (1 << (32 - tile_bits)) else 0
+    assert max_isects <= 1 << 24, "slot offsets ride the expand matmul as u24"
     assert max_isects % k_exp == 0 and max_isects % k_lanes == 0
 
     # numpy, not jnp: this closure is lru-cached across traces, and a jnp
     # constant created under one jit trace would leak into the next.
-    boundaries = (np.arange(num_tiles + 1, dtype=np.uint64)
-                  << slot_bits).astype(np.uint32)
+    boundaries = np.arange(num_tiles + 1, dtype=np.uint32)
 
     window = k_exp + 2 * WINDOW_ALIGN
     n_pad = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window
 
     def _fwd_impl(attrs9, decode, depth_key, tile_ids):
+        # Quantize color+opacity into two packed u32 rows BEFORE the depth
+        # sort — 2 payload rows instead of 4 (see module docstring).
+        colop0 = (quantize_color(attrs9[5])
+                  | (quantize_color(attrs9[6]) << 16))
+        colop1 = (quantize_color(attrs9[7])
+                  | (quantize_opac(attrs9[8]) << 16))
+
         # --- depth sort, everything as payload (DepthSort) ---
-        # decode is 5 packed u32 rows (see render.pack_decode_rows): the
-        # sort moves 16 arrays instead of 22, and the unpack below is a few
-        # elementwise shifts.
+        # decode is 4 packed u32 rows (see render.pack_decode_rows): the
+        # sort moves 13 arrays, and the unpack below is a few elementwise
+        # shifts.
         ops = jax.lax.sort(
-            (depth_key,)
-            + tuple(attrs9[i] for i in range(9))
-            + tuple(decode[i] for i in range(5))
-            + (jnp.arange(n, dtype=jnp.int32),),
+            (depth_key,
+             attrs9[0], attrs9[1], attrs9[2], attrs9[3], attrs9[4],
+             colop0, colop1,
+             decode[0], decode[1], decode[2], decode[3],
+             jnp.arange(n, dtype=jnp.int32)),
             num_keys=1, is_stable=True,
         )
-        order = ops[15]
-        d0, d1, m_lo, m_hi, pc = ops[10], ops[11], ops[12], ops[13], ops[14]
+        order = ops[12]
+        d0, d1, m_lo, m_hi = ops[8], ops[9], ops[10], ops[11]
         counts_c = (d1 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         cum = jnp.cumsum(counts_c)
         offsets = cum - counts_c
         raw_total = cum[-1].astype(jnp.int32)
         total = jnp.minimum(cum[-1:], max_isects).astype(jnp.int32)
 
-        f32 = lambda v: v.astype(jnp.float32)
-        attrs_t = jnp.concatenate(
-            [
-                jnp.stack(ops[1:10], axis=0),              # 9 attrs
-                jnp.stack(                                  # decode rows 9-18
-                    [f32(d0 & jnp.uint32(0x7FF)),
-                     f32((d0 >> 11) & jnp.uint32(0x7FF)),
-                     f32(d0 >> 22),
-                     f32(m_lo & jnp.uint32(0xFFFF)), f32(m_lo >> 16),
-                     f32(m_hi & jnp.uint32(0xFFFF)), f32(m_hi >> 16),
-                     f32(pc & jnp.uint32(0xFFFF)), f32(pc >> 16),
-                     f32(d1 >> 31)], axis=0,
-                ),
-                offsets.astype(jnp.float32)[None],
-                jnp.arange(n, dtype=jnp.float32)[None],  # gid (unused)
-                jnp.zeros((EXP_IN_ROWS - 21, n), jnp.float32),
-            ],
-            axis=0,
+        # bf16-component stack for the expand kernel's one-hot matmul:
+        # bws packs small (bit 10) above the 10-bit bbox width.
+        bws = (d0 >> 22) | ((d1 >> 31) << 10)
+        comps = build_comp_rows(
+            ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
+            d0 & jnp.uint32(0x7FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
+            m_lo, m_hi, offsets, n_pad,
         )
-        attrs_t = jnp.pad(attrs_t, ((0, 0), (0, n_pad - n)))
 
         # Slot -> compact splat id: one scatter-add at segment starts +
         # cumsum (producing splats are the depth-order prefix, so the
@@ -160,30 +168,20 @@ def make_pallas_pipeline(
 
         # --- expansion (MapGaussiansToIntersect) ---
         keys, recs = expand_pallas(
-            attrs_t, splat_c, s_lo, total,
-            tiles_x=tiles_x, num_tiles=num_tiles, slot_bits=slot_bits,
+            comps, splat_c, s_lo, total,
+            tiles_x=tiles_x, num_tiles=num_tiles,
             n=n, max_isects=max_isects, k_exp=k_exp, interpret=interpret,
         )
 
         # --- tile grouping (TileSort + GetTileBinEdges) ---
-        payload = tuple(recs[i] for i in range(9))
-        if slot_bits == 0:
-            payload = payload + (jnp.arange(max_isects, dtype=jnp.uint32),)
+        # Stable tile-only sort: records arrive in slot (= depth) order, so
+        # stability gives depth order within each tile for free.
         sops = jax.lax.sort(
-            (keys,) + payload, num_keys=1, is_stable=slot_bits == 0,
+            (keys,) + tuple(recs[i] for i in range(PACK_ROWS)),
+            num_keys=1, is_stable=True,
         )
         skeys = sops[0]
-        if slot_bits == 0:
-            slots_sorted = sops[10]
-        else:
-            slots_sorted = skeys & jnp.uint32((1 << slot_bits) - 1)
-        packed = jnp.concatenate(
-            [
-                jnp.stack(sops[1:10], axis=0),
-                jnp.zeros((PACK_ROWS - 9, max_isects), jnp.float32),
-            ],
-            axis=0,
-        )
+        packed = jnp.stack(sops[1:1 + PACK_ROWS], axis=0)
         packed = jnp.pad(packed, ((0, 0), (0, k_lanes)))
 
         tile_bins = jnp.searchsorted(skeys, jnp.asarray(boundaries))
@@ -199,8 +197,9 @@ def make_pallas_pipeline(
             packed, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
+            tiles_per_step=tiles_per_step, n_buf=n_buf,
         )
-        res = (packed, slots_sorted, starts, ends, tile_ids, log_t, fidx,
+        res = (packed, starts, ends, tile_ids, log_t, fidx,
                splat_c, s_lo, total, order)
         return img, order, total[0], raw_total, res
 
@@ -218,7 +217,7 @@ def make_pallas_pipeline(
         return (img, order, total, raw_total), res
 
     def raster_bwd(res, g):
-        (packed, slots_sorted, starts, ends, tile_ids, log_t, fidx,
+        (packed, starts, ends, tile_ids, log_t, fidx,
          splat_c, s_lo, total, order) = res
         g_img = g[0]
         grads_init = None
@@ -241,9 +240,13 @@ def make_pallas_pipeline(
             in_strip = (pos >= starts[0]) & (pos < ends[-1])
             grads = jnp.where(in_strip, grads[:, :max_isects], 0.0)
 
-        # --- back to slot order: records of one splat become contiguous ---
+        # --- group by splat: sort on the carried compact splat id (packed
+        # row 7). Compact ids are assigned in depth order, so the sorted id
+        # sequence equals splat_c and the windowed segment-sum applies
+        # directly; invalid records carry id n and sort past `total`. ---
         gops = jax.lax.sort(
-            (slots_sorted,) + tuple(grads[i, :max_isects] for i in range(9)),
+            (packed[PACK_ROWS - 1, :max_isects],)
+            + tuple(grads[i, :max_isects] for i in range(9)),
             num_keys=1,
         )
         live = jax.lax.broadcasted_iota(

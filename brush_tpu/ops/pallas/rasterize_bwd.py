@@ -38,6 +38,7 @@ from brush_tpu.ops.pallas.rasterize_fwd import (
     _cumsum_lanes_mxu,
     _pixel_basis,
     _splat_basis,
+    unpack_record_rows,
 )
 
 GRAD_ROWS = 16  # v_xy(2), v_conic(3), v_color(3), v_opac(1), 7 pad
@@ -131,17 +132,18 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
                 dma_in((b - 1) % 2, b - 1).start()
 
             dma_in(b % 2, b).wait()
-            blk = buf[b % 2]
+            blk = buf[b % 2]  # (8, K) u32
+            dec = unpack_record_rows(blk)
 
             off = base + b * k_lanes
             isect_idx = off + lane_idx
             lane_ok = (isect_idx >= start) & (isect_idx < end)
 
-            b_s = _splat_basis(blk, cx_t, cy_t)
+            b_s = _splat_basis(dec, cx_t, cy_t)
             sigma = jnp.dot(a_p, b_s, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             vis = jnp.exp(-sigma)
-            opac = blk[8:9]
+            opac = dec[8]
             alpha = jnp.minimum(ALPHA_MAX, opac * vis)
             ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok
             alpha = jnp.where(ok, alpha, 0.0)
@@ -158,9 +160,9 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 
             # cw = color . v_rgb per (pixel, splat).
             cw = (
-                v_rgb[:, 0:1] * blk[5:6]
-                + v_rgb[:, 1:2] * blk[6:7]
-                + v_rgb[:, 2:3] * blk[7:8]
+                v_rgb[:, 0:1] * dec[5]
+                + v_rgb[:, 1:2] * dec[6]
+                + v_rgb[:, 2:3] * dec[7]
             )
             contrib = cw * fac
             c_inc = _cumsum_lanes_mxu(contrib, k_lanes)
@@ -186,11 +188,11 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
             syy = mom[4:5]
             sxy = mom[5:6]
 
-            x = blk[0:1] - cx_t
-            y = blk[1:2] - cy_t
-            cxx = blk[2:3]
-            cyy = blk[3:4]
-            czz = blk[4:5]
+            x = dec[0] - cx_t
+            y = dec[1] - cy_t
+            cxx = dec[2]
+            cyy = dec[3]
+            czz = dec[4]
 
             # delta = xy - pixel: sum_p v_sigma * dx = x*S0 - Sx, etc.
             sdx = x * s0 - sx
@@ -331,7 +333,7 @@ def rasterize_bwd_pallas(
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.float32),
+            pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.uint32),
             pltpu.VMEM((GRAD_ROWS, k_lanes), jnp.float32),
             pltpu.VMEM((GRAD_ROWS, k_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -12,10 +12,18 @@ rasterize.wgsl:20-26). Differences born from the hardware:
     B(s) = [cx/2, cz/2, cy, -(cx*x + cy*y), -(cy*x + cz*y),
             (cx*x^2 + cz*y^2)/2 + cy*x*y]
   instead of ~10 VPU ops per (pixel, splat) pair.
-- Splat data arrives pre-gathered into intersection order as a packed
-  (16, MAX_ISECTS) array (rows: x, y, cx, cy, cz, r, g, b, opac), so every
-  batch is one contiguous (16, K) DMA instead of a random gather — the
-  shared-memory staging of rasterize.wgsl:57-71 becomes double-buffered
+- Splat data arrives pre-gathered into intersection order as a PACKED
+  (8, MAX_ISECTS) uint32 array — half the DMA bytes of a naive 9-row f32
+  layout and 2 fewer rows through every pool-scale sort:
+    rows 0-4: x, y, cxx, cxy, cyy as bitcast float32 (full precision)
+    row  5:   color r | g as two u16 fixed-point halves
+    row  6:   color b | opacity as two u16 fixed-point halves
+    row  7:   compact splat id (the backward's re-sort key)
+  Color quantizes over [COLOR_LO, COLOR_HI] (step ~1.2e-4, ~8x finer than
+  a display step); opacity over [0, 1] (step 1.5e-5). Both are far inside
+  the golden-test tolerances; xy/conic stay exact f32 because position
+  quantization (even 1/32 px) measurably flips alpha thresholds.
+  The shared-memory staging of rasterize.wgsl:57-71 becomes double-buffered
   HBM->VMEM copies.
 - The transmittance early-out (rasterize.wgsl:88) becomes a per-tile batch
   loop that stops when every pixel's T is below threshold.
@@ -38,25 +46,85 @@ from jax.experimental.pallas import tpu as pltpu
 from brush_tpu.constants import ALPHA_EPS, ALPHA_MAX, TILE_SIZE, TILE_WIDTH, TRANSMITTANCE_EPS
 
 LOG_T_EPS = math.log(TRANSMITTANCE_EPS)
-PACK_ROWS = 16  # x, y, cx, cy, cz, r, g, b, opac, 7 padding rows
+PACK_ROWS = 8   # see module docstring: 5 bitcast-f32 + 2 packed u16 pairs + id
 LANE_ALIGN = 128  # HBM DMA windows snap down to this lane boundary
+
+COLOR_LO = -4.0
+COLOR_HI = 4.0
+COLOR_SCALE = 65535.0 / (COLOR_HI - COLOR_LO)
+OPAC_SCALE = 65535.0
+
+
+def quantize_color(c):
+    """f32 color -> u16-valued u32 (XLA side)."""
+    q = jnp.round((jnp.clip(c, COLOR_LO, COLOR_HI) - COLOR_LO) * COLOR_SCALE)
+    return q.astype(jnp.uint32)
+
+
+def quantize_opac(o):
+    q = jnp.round(jnp.clip(o, 0.0, 1.0) * OPAC_SCALE)
+    return q.astype(jnp.uint32)
+
+
+def _u16f(q):
+    """u16-valued uint32 -> exact f32 (works in XLA and in-kernel)."""
+    return q.astype(jnp.float32)
+
+
+def decode_color(q):
+    return _u16f(q) * (1.0 / COLOR_SCALE) + COLOR_LO
+
+
+def decode_opac(q):
+    return _u16f(q) * (1.0 / OPAC_SCALE)
+
+
+def pack_record_rows(xy0, xy1, cxx, cxy, cyy, qr, qg, qb, qo, splat_id):
+    """Assemble the 8 packed u32 rows from components (same-shape arrays).
+
+    xy/conic are f32 (bitcast); q* are u16-valued u32 from quantize_*;
+    splat_id is u32.
+    """
+    bc = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+    return [
+        bc(xy0), bc(xy1), bc(cxx), bc(cxy), bc(cyy),
+        qr | (qg << 16), qb | (qo << 16), splat_id,
+    ]
+
+
+def unpack_record_rows(blk):
+    """(8, K) u32 block -> 9 decoded (1, K) f32 rows (x, y, conic, rgb, o)."""
+    f = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+    m16 = jnp.uint32(0xFFFF)
+    return (
+        f(blk[0:1]), f(blk[1:2]), f(blk[2:3]), f(blk[3:4]), f(blk[4:5]),
+        decode_color(blk[5:6] & m16), decode_color(blk[5:6] >> 16),
+        decode_color(blk[6:7] & m16), decode_opac(blk[6:7] >> 16),
+    )
 
 
 def pack_isect_splats(xy, conic, color, opac, isect_gid, max_isects: int,
                       k_lanes: int = 512):
     """Gather per-splat data into intersection order, packed
-    (16, MAX_ISECTS + K).
+    (8, MAX_ISECTS + K) uint32.
 
     One XLA gather outside the kernel so in-kernel loads are contiguous. The
     extra K lanes let a batch window that starts near the pool end read (and
     in backward, write) a full K without bounds clamping — clamping would
     make adjacent tiles' write windows overlap.
     """
-    rows = jnp.concatenate(
-        [xy, conic, color, opac[:, None]], axis=1
-    )  # (N, 9) — row-major so the pool gather moves whole contiguous rows
-    packed = rows[isect_gid].T  # (9, MAX_ISECTS)
-    return jnp.pad(packed, ((0, PACK_ROWS - 9), (0, k_lanes)))
+    n = xy.shape[0]
+    rows = jnp.stack(
+        pack_record_rows(
+            xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+            quantize_color(color[:, 0]), quantize_color(color[:, 1]),
+            quantize_color(color[:, 2]), quantize_opac(opac),
+            jnp.arange(n, dtype=jnp.uint32),
+        ),
+        axis=1,
+    )  # (N, 8) — row-major so the pool gather moves whole contiguous rows
+    packed = rows[isect_gid].T  # (8, MAX_ISECTS)
+    return jnp.pad(packed, ((0, PACK_ROWS - 8), (0, k_lanes)))
 
 
 
@@ -148,16 +216,17 @@ def _pixel_basis(tile_ids_ref, t, tiles_x: int):
     return a, cx_t, cy_t
 
 
-def _splat_basis(blk, center_x, center_y):
-    """B(s): (8, K) splat quadratic coefficients from a packed (16, K) block.
+def _splat_basis(dec, center_x, center_y):
+    """B(s): (8, K) splat quadratic coefficients from decoded record rows.
 
-    Splat centers are shifted into the tile-local frame (see _pixel_basis).
+    dec: the 9-tuple from unpack_record_rows. Splat centers are shifted into
+    the tile-local frame (see _pixel_basis).
     """
-    x = blk[0:1] - center_x
-    y = blk[1:2] - center_y
-    cx = blk[2:3]
-    cy = blk[3:4]
-    cz = blk[4:5]
+    x = dec[0] - center_x
+    y = dec[1] - center_y
+    cx = dec[2]
+    cy = dec[3]
+    cz = dec[4]
     b0 = 0.5 * cx
     b1 = 0.5 * cz
     b2 = cy
@@ -169,8 +238,7 @@ def _splat_basis(blk, center_x, center_y):
 
 
 def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
-                 tiles_per_step: int = 1):
-    n_buf = 2
+                 tiles_per_step: int = 1, n_buf: int = 2):
 
     def kernel(starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                img_ref, logt_ref, fidx_ref,
@@ -206,31 +274,38 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
                 sem.at[slot],
             )
 
-        @pl.when(num_batches > 0)
-        def _():
-            dma(0, 0).start()
+        # Kick off the first n_buf-1 copies; the loop body tops the pipe up
+        # to n_buf-1 batches ahead. Per-batch compute (~0.3us of MXU work)
+        # is shorter than a single HBM copy's issue+latency, so with only
+        # double buffering the loop serializes on DMA latency — deeper
+        # buffering amortizes it across n_buf-1 outstanding copies.
+        for j in range(n_buf - 1):
+            @pl.when(j < num_batches)
+            def _(j=j):
+                dma(j, j).start()
 
         def body(carry):
             b, log_t, alive, rgb_r, rgb_g, rgb_b, fidx = carry
 
-            @pl.when(b + 1 < num_batches)
+            @pl.when(b + n_buf - 1 < num_batches)
             def _():
-                dma((b + 1) % n_buf, b + 1).start()
+                dma((b + n_buf - 1) % n_buf, b + n_buf - 1).start()
 
             dma(b % n_buf, b).wait()
-            blk = buf[b % n_buf]  # (16, K)
+            blk = buf[b % n_buf]  # (8, K) u32
+            dec = unpack_record_rows(blk)
 
             off = base + b * k_lanes
             isect_idx = off + lane_idx                       # (1, K)
             lane_ok = (isect_idx >= start) & (isect_idx < end)
 
-            b_s = _splat_basis(blk, cx_t, cy_t)              # (8, K)
+            b_s = _splat_basis(dec, cx_t, cy_t)              # (8, K)
             sigma = jnp.dot(
                 a_p, b_s, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST
             )                                                # (P, K) via MXU
             vis = jnp.exp(-sigma)
-            opac = blk[8:9]                                  # (1, K)
+            opac = dec[8]                                    # (1, K)
             alpha = jnp.minimum(ALPHA_MAX, opac * vis)
             ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok
             alpha = jnp.where(ok, alpha, 0.0)
@@ -249,9 +324,9 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
             t_before = jnp.exp(log_t_after - lom)
             fac = alpha * t_before * jnp.where(act, 1.0, 0.0)
 
-            rgb_r = rgb_r + jnp.sum(fac * blk[5:6], axis=1, keepdims=True)
-            rgb_g = rgb_g + jnp.sum(fac * blk[6:7], axis=1, keepdims=True)
-            rgb_b = rgb_b + jnp.sum(fac * blk[7:8], axis=1, keepdims=True)
+            rgb_r = rgb_r + jnp.sum(fac * dec[5], axis=1, keepdims=True)
+            rgb_g = rgb_g + jnp.sum(fac * dec[6], axis=1, keepdims=True)
+            rgb_b = rgb_b + jnp.sum(fac * dec[7], axis=1, keepdims=True)
             log_t = log_t + jnp.sum(
                 jnp.where(act, lom, 0.0), axis=1, keepdims=True
             )
@@ -284,12 +359,15 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
             cond, body, init
         )
 
-        # If the early-out fired, the prefetch for batch b_final is still in
-        # flight; consume it so the next grid step's semaphore accounting
-        # stays correct.
-        @pl.when((b_final >= 1) & (b_final < num_batches))
-        def _():
-            dma(b_final % n_buf, b_final).wait()
+        # If the early-out fired, up to n_buf-1 prefetched copies (batches
+        # b_final .. started-1, started = min(b_final + n_buf - 1,
+        # num_batches)) are still in flight; consume them so the next grid
+        # step's semaphore accounting stays correct.
+        started = jnp.minimum(b_final + n_buf - 1, num_batches)
+        for j in range(n_buf - 1):
+            @pl.when((b_final >= 1) & (b_final + j < started))
+            def _(j=j):
+                dma((b_final + j) % n_buf, b_final + j).wait()
 
         alpha_out = 1.0 - jnp.exp(log_t)
         img_ref[g] = jnp.concatenate([rgb_r, rgb_g, rgb_b, alpha_out], axis=1)
@@ -302,23 +380,25 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
-                     "interpret", "tiles_per_step"),
+                     "interpret", "tiles_per_step", "n_buf"),
 )
 def rasterize_fwd_pallas(
     packed, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
-    interpret: bool = False, tiles_per_step: int = 4,
+    interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
 ):
     """Forward rasterize. Returns (img (T,P,4), log_t (T,P), final_idx (T,P)).
 
-    packed: (16, MAX_ISECTS) from pack_isect_splats. MAX_ISECTS must be a
-    multiple of k_lanes (pad the pool). tiles_per_step groups several tiles
-    into one grid step to amortize per-step fixed costs.
+    packed: (8, MAX_ISECTS + K) uint32 from pack_isect_splats (or the expand
+    kernel). MAX_ISECTS must be a multiple of k_lanes (pad the pool).
+    tiles_per_step groups several tiles into one grid step to amortize
+    per-step fixed costs.
     """
     assert max_isects % k_lanes == 0, "intersection pool must pad to k_lanes"
-    assert packed.shape[1] == max_isects + k_lanes, (
-        "packed pool must carry one extra K window (see pack_isect_splats)"
+    assert packed.shape == (PACK_ROWS, max_isects + k_lanes), (
+        "packed pool must be the 8-row u32 layout with one extra K window"
     )
+    assert packed.dtype == jnp.uint32
     g = max(1, min(tiles_per_step, num_tiles))
     steps = -(-num_tiles // g)
     tiles_pad = steps * g
@@ -328,7 +408,8 @@ def rasterize_fwd_pallas(
         starts = jnp.pad(starts, (0, pad))
         ends = jnp.pad(ends, (0, pad))
         tile_ids = jnp.pad(tile_ids, (0, pad))
-    kernel = _make_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g)
+    kernel = _make_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
+                          n_buf=n_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),
@@ -342,8 +423,8 @@ def rasterize_fwd_pallas(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_buf, PACK_ROWS, k_lanes), jnp.uint32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
     )
     img, log_t, fidx = pl.pallas_call(

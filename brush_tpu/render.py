@@ -71,24 +71,25 @@ def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
 
 
 def pack_decode_rows(proj, masks, counts_g) -> jnp.ndarray:
-    """Pack the per-splat decode state into 5 uint32 rows.
+    """Pack the per-splat decode state into 4 uint32 rows.
 
     The depth sort carries every per-splat quantity as a sort payload (a
-    gather after the sort would cost ~20ns per index); packing the 11
-    small-integer decode quantities into 5 u32 rows cuts the sorted bytes by
-    ~27%. Layout (unpacked in raster_vjp._fwd_impl):
+    gather after the sort would cost ~20ns per index); packing the
+    small-integer decode quantities into 4 u32 rows cuts the sorted bytes.
+    Byte popcounts (round 2's pc_pack row) are derived in-kernel by the
+    expand kernel's SWAR select, so they no longer ride the sort at all.
+    Layout (unpacked in raster_vjp._fwd_impl):
 
       row 0: tmin_x (11b) | tmin_y << 11 (11b) | bbox_w << 22 (10b)
       row 1: counts (31b) | small << 31
-      row 2: mask_lo   row 3: mask_hi   row 4: pc_pack
+      row 2: mask_lo   row 3: mask_hi
     """
     u32 = lambda v: v.astype(jnp.uint32)
     bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
     d0 = (u32(proj.tile_min[:, 0]) | (u32(proj.tile_min[:, 1]) << 11)
           | (u32(bbox_w) << 22))
     d1 = u32(counts_g) | (u32(masks.small) << 31)
-    return jnp.stack([d0, d1, masks.mask_lo, masks.mask_hi, masks.pc_pack],
-                     axis=0)
+    return jnp.stack([d0, d1, masks.mask_lo, masks.mask_hi], axis=0)
 
 
 def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:

@@ -1,5 +1,10 @@
 """Subtractive ablation of the full pallas render jit on the real chip.
 
+STALE (round-3): the packed-record pipeline changed expand_pallas's
+signature (comps/bf16 component rows, no slot_bits) and the record layout
+(8 u32 rows). Use scripts/profile_r3.py for current measurements.
+
+
 NOTE: written against the round-1 pipeline (22-array depth sort, unpacked
 decode rows); the round-2 pipeline packs decode into 5 u32 rows and sorts
 16 arrays (ops/pallas/raster_vjp.py). Update the stage bodies before

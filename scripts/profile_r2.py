@@ -1,5 +1,10 @@
 """Round-2 stage profile of the TPU record pipeline at the bench config.
 
+STALE (round-3): the packed-record pipeline changed expand_pallas's
+signature (comps/bf16 component rows, no slot_bits) and the record layout
+(8 u32 rows). Use scripts/profile_r3.py for current measurements.
+
+
 Times each stage of ops/pallas/raster_vjp._fwd_impl as a separately-jitted
 piece, plus sort microbenchmarks that derisk the planned payload-packing
 changes. Run on the real chip (no --platform override); prints incrementally

@@ -1,0 +1,246 @@
+"""Round-3 roofline: full-jit ablations + kernel-variant sweep on the chip.
+
+Methodology (docs/PERFORMANCE.md "measurement methodology"): every number is
+the MEDIAN of 12 individually-synced executions of ONE fused jit — staged
+pipelines timed stage-by-stage through the axon tunnel each pay a ~15-30 ms
+dispatch constant and sum to nonsense. Stage costs therefore come from
+*ablations*: jit the pipeline cut off after stage k, subtract successive
+medians. The ablation bodies mirror raster_vjp._fwd_impl (keep in sync).
+
+Usage: python scripts/profile_r3.py [stages|variants|bwd] (default: stages)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brush_tpu.camera import Camera
+from brush_tpu.constants import TILE_WIDTH
+from brush_tpu.ops.binning import precompute_tile_masks
+from brush_tpu.ops.pallas.expand import WINDOW_ALIGN, build_comp_rows, expand_pallas
+from brush_tpu.ops.pallas.rasterize_fwd import (
+    PACK_ROWS,
+    quantize_color,
+    quantize_opac,
+    rasterize_fwd_pallas,
+)
+from brush_tpu.ops.projection import project_splats
+from brush_tpu.ops.rasterize_reference import camera_params
+from brush_tpu.ops.sh import sh_to_color
+from brush_tpu.render import pack_decode_rows, render_splats
+from brush_tpu.splats import from_random
+
+N = 1 << 20
+IMG = (1024, 1024)
+MAX_ISECTS = 2162688  # bench.py pool
+K_EXP = 512
+
+
+def median_time(fn, args, iters=12):
+    fn_j = jax.jit(fn)
+    out = fn_j(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn_j(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(jnp.ravel(leaf)[:1])
+        times.append(time.perf_counter() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def report(name, dt, prev=None):
+    d = "" if prev is None else f"   (delta {1e3 * (dt - prev):+8.2f} ms)"
+    print(f"{name:46s} {dt * 1e3:9.2f} ms{d}", flush=True)
+
+
+def build_inputs():
+    rng = np.random.default_rng(0)
+    splats = from_random(rng, [-3, -3, -3], [3, 3, 3], count=N, sh_degree=1,
+                         capacity=N)
+    cam = Camera(position=[0, 0, -8.0], rotation=[1, 0, 0, 0],
+                 fov_x=np.pi / 2, fov_y=np.pi / 2)
+    cp = camera_params(cam, IMG)
+    args = jax.device_put((splats.means, splats.log_scales, splats.quats,
+                           splats.sh_coeffs, splats.raw_opacity))
+    return cp, args
+
+
+def make_staged(cp, stage):
+    """Forward pipeline cut off after `stage` (mirrors raster_vjp._fwd_impl).
+
+    stage: proj | sort | expand | tilesort | bins | raster
+    """
+    w, h = IMG
+    tiles_x, tiles_y = -(-w // TILE_WIDTH), -(-h // TILE_WIDTH)
+    num_tiles = tiles_x * tiles_y
+    window = K_EXP + 2 * WINDOW_ALIGN
+    n_pad = -(-N // WINDOW_ALIGN) * WINDOW_ALIGN + window
+    k_lanes = 512
+
+    def fn(means, log_scales, quats, sh_coeffs, raw_op):
+        quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
+        proj = project_splats(means, log_scales, quats_n, cp.viewmat,
+                              cp.focal, cp.pixel_center, IMG)
+        cam_pos = cp.viewmat[:3, 3]
+        vd = means - cam_pos
+        vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True).clip(1e-12)
+        color = sh_to_color(1, vd, sh_coeffs)
+        opac = jax.nn.sigmoid(raw_op)
+        masks = precompute_tile_masks(proj, opac)
+        producing = proj.visible & (masks.counts > 0)
+        counts_g = jnp.where(producing, masks.counts, 0)
+        depth_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(proj.depth, 1e-20), jnp.uint32)
+        depth_key = jnp.where(producing, depth_bits, jnp.uint32(0xFFFFFFFF))
+        decode = pack_decode_rows(proj, masks, counts_g)
+        if stage == "proj":
+            return proj.xy, color, opac, decode, depth_key
+
+        colop0 = quantize_color(color[:, 0]) | (quantize_color(color[:, 1]) << 16)
+        colop1 = quantize_color(color[:, 2]) | (quantize_opac(opac) << 16)
+        ops = jax.lax.sort(
+            (depth_key, proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0],
+             proj.conic[:, 1], proj.conic[:, 2], colop0, colop1,
+             decode[0], decode[1], decode[2], decode[3],
+             jnp.arange(N, dtype=jnp.int32)),
+            num_keys=1, is_stable=True)
+        d0, d1, m_lo, m_hi = ops[8], ops[9], ops[10], ops[11]
+        counts_c = (d1 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        cum = jnp.cumsum(counts_c)
+        offsets = cum - counts_c
+        total = jnp.minimum(cum[-1:], MAX_ISECTS).astype(jnp.int32)
+        if stage == "sort":
+            return ops[1], ops[6], total
+
+        bws = (d0 >> 22) | ((d1 >> 31) << 10)
+        comps = build_comp_rows(
+            ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
+            d0 & jnp.uint32(0x7FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
+            m_lo, m_hi, offsets, n_pad)
+        scatter_idx = jnp.where(counts_c > 0, offsets, MAX_ISECTS)
+        marks = jnp.zeros((MAX_ISECTS,), jnp.int32).at[scatter_idx].add(
+            1, mode="drop")
+        splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, N - 1)[None, :]
+        s_lo = (splat_c[0, ::K_EXP] // WINDOW_ALIGN) * WINDOW_ALIGN
+        s_lo = jnp.clip(s_lo, 0, n_pad - window)
+        keys, recs = expand_pallas(
+            comps, splat_c, s_lo, total, tiles_x=tiles_x,
+            num_tiles=num_tiles, n=N, max_isects=MAX_ISECTS, k_exp=K_EXP)
+        if stage == "expand":
+            return keys, recs[0], total
+
+        sops = jax.lax.sort(
+            (keys,) + tuple(recs[i] for i in range(PACK_ROWS)),
+            num_keys=1, is_stable=True)
+        skeys = sops[0]
+        packed = jnp.stack(sops[1:1 + PACK_ROWS], axis=0)
+        packed = jnp.pad(packed, ((0, 0), (0, k_lanes)))
+        if stage == "tilesort":
+            return skeys, packed[0], total
+
+        boundaries = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+        tile_bins = jnp.searchsorted(skeys, boundaries).astype(jnp.int32)
+        starts, ends = tile_bins[:-1], tile_bins[1:]
+        if stage == "bins":
+            return starts, ends, packed[0]
+
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+        img, log_t, fidx = rasterize_fwd_pallas(
+            packed, starts, ends, tile_ids, tiles_x=tiles_x,
+            num_tiles=num_tiles, max_isects=MAX_ISECTS, k_lanes=k_lanes)
+        return img, log_t
+
+    return fn
+
+
+def run_stages():
+    cp, args = build_inputs()
+    prev = None
+    for stage in ["proj", "sort", "expand", "tilesort", "bins", "raster"]:
+        dt = median_time(make_staged(cp, stage), args)
+        report(f"through {stage}", dt, prev)
+        prev = dt
+
+
+def run_variants():
+    """Full fwd via render_splats with kernel-knob overrides."""
+    cp, args = build_inputs()
+    from brush_tpu.ops.pallas import raster_vjp
+
+    def full(block_size, tiles_per_step, n_buf, k_exp=512):
+        def fn(means, log_scales, quats, sh_coeffs, raw_op):
+            from brush_tpu.render import (
+                _render_pallas, pack_rgba_u32)  # noqa: F401
+            # Mirror render_splats' pallas branch with pipeline overrides.
+            import math as _m
+            w, h = IMG
+            tiles_x, tiles_y = -(-w // TILE_WIDTH), -(-h // TILE_WIDTH)
+            k_lanes = max(128, block_size)
+            mi = -(-MAX_ISECTS // _m.lcm(k_lanes, k_exp)) * _m.lcm(k_lanes, k_exp)
+            quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
+            proj = project_splats(means, log_scales, quats_n, cp.viewmat,
+                                  cp.focal, cp.pixel_center, IMG)
+            cam_pos = cp.viewmat[:3, 3]
+            vd = means - cam_pos
+            vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True).clip(1e-12)
+            color = sh_to_color(1, vd, sh_coeffs)
+            opac = jax.nn.sigmoid(raw_op)
+            masks = precompute_tile_masks(proj, opac)
+            producing = proj.visible & (masks.counts > 0)
+            counts_g = jnp.where(producing, masks.counts, 0)
+            depth_bits = jax.lax.bitcast_convert_type(
+                jnp.maximum(proj.depth, 1e-20), jnp.uint32)
+            depth_key = jnp.where(producing, depth_bits, jnp.uint32(0xFFFFFFFF))
+            attrs9 = jnp.stack(
+                [proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0],
+                 proj.conic[:, 1], proj.conic[:, 2], color[:, 0],
+                 color[:, 1], color[:, 2], opac], axis=0)
+            decode = pack_decode_rows(proj, masks, counts_g)
+            raster = raster_vjp.make_pallas_pipeline(
+                tiles_x, tiles_x * tiles_y, mi, N, k_lanes=k_lanes,
+                k_exp=k_exp, tiles_per_step=tiles_per_step, n_buf=n_buf)
+            tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+            img_tiles, order, total, raw_total = raster(
+                attrs9, decode, depth_key, tile_ids)
+            return img_tiles
+        return fn
+
+    grid = [
+        ("base  k512 tps4  nbuf4", 512, 4, 4, 512),
+        ("nbuf2 (r2 buffering)", 512, 4, 2, 512),
+        ("nbuf8", 512, 4, 8, 512),
+        ("tps16", 512, 16, 4, 512),
+        ("k_lanes1024", 1024, 4, 4, 512),
+        ("k_exp1024", 512, 4, 4, 1024),
+        ("k_exp2048", 512, 4, 4, 2048),
+    ]
+    for name, bs, tps, nb, ke in grid:
+        dt = median_time(full(bs, tps, nb, ke), args)
+        report(name, dt)
+
+
+def run_bwd():
+    cp, args = build_inputs()
+
+    def fwd_bwd(means, log_scales, quats, sh_coeffs, raw_op):
+        def loss(m, ls, q, sh, ro):
+            img, _ = render_splats(m, ls, q, sh, ro, cp, IMG,
+                                   block_size=512, max_isects=MAX_ISECTS)
+            return jnp.mean(jnp.abs(img[..., :3]))
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            means, log_scales, quats, sh_coeffs, raw_op)
+
+    dt = median_time(fwd_bwd, args)
+    report("fwd+bwd (grads all params)", dt)
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "stages"
+    {"stages": run_stages, "variants": run_variants, "bwd": run_bwd}[mode]()

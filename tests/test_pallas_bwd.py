@@ -45,7 +45,9 @@ def test_pallas_vjp_matches_xla_vjp():
         b = np.asarray(b)
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(
-            b / scale, a / scale, atol=5e-5, err_msg=f"grad mismatch: {name}"
+            # atol absorbs the u16 color/opacity quantization of the
+            # packed record layout (rasterize_fwd.quantize_color).
+            b / scale, a / scale, atol=3e-4, err_msg=f"grad mismatch: {name}"
         )
 
 

@@ -72,7 +72,9 @@ def test_pallas_fwd_matches_xla():
     )
 
     np.testing.assert_allclose(
-        np.asarray(img_pl), np.asarray(img_xla), atol=3e-5
+        # atol absorbs the u16 color/opacity quantization of the packed
+        # record layout (step ~1.2e-4; see rasterize_fwd.quantize_color).
+        np.asarray(img_pl), np.asarray(img_xla), atol=2e-4
     )
     # log_t consistent with the output alpha channel.
     np.testing.assert_allclose(
@@ -86,7 +88,7 @@ def test_pallas_fwd_empty_tiles():
     max_isects = 256
     num_tiles = 6
     tiles_x = 3
-    packed = jnp.zeros((16, max_isects + 128), jnp.float32)
+    packed = jnp.zeros((8, max_isects + 128), jnp.uint32)
     zeros = jnp.zeros((num_tiles,), jnp.int32)
     img, log_t, fidx = rasterize_fwd_pallas(
         packed, zeros, zeros, jnp.arange(num_tiles, dtype=jnp.int32),
