@@ -196,6 +196,77 @@ def precompute_tile_masks(proj: Projection, opac: jnp.ndarray) -> TileMasks:
     )
 
 
+def _ones_below64(x):
+    """(lo, hi) u32 halves of a 64-bit mask with bits [0, x) set.
+
+    x is an int32 array clamped to [0, 64]. Shift amounts are kept < 32
+    (shift-by-width is undefined); the >=32 cases go through jnp.where.
+    """
+    x = jnp.clip(x, 0, 64)
+    xl = jnp.clip(x, 0, 32).astype(jnp.uint32)
+    xh = jnp.clip(x - 32, 0, 32).astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    one = jnp.uint32(1)
+    lo = jnp.where(xl >= 32, full, (one << jnp.minimum(xl, 31)) - 1)
+    hi = jnp.where(xh >= 32, full, (one << jnp.minimum(xh, 31)) - 1)
+    return lo, hi
+
+
+def restrict_masks_to_strip(proj: Projection, masks: TileMasks,
+                            counts_g: jnp.ndarray, row_lo, row_hi):
+    """Restrict per-splat tile coverage to the tile-row range [row_lo, row_hi).
+
+    The sharded record pipeline gives each device a row-aligned strip of
+    tiles; every device then builds records ONLY for its strip instead of
+    replicating the full expansion (the SURVEY §5.7 re-shard design). All
+    arithmetic is elementwise over N — no per-bit pass:
+
+    - small splats (authoritative 64-bit mask): keep mask bits whose bbox
+      row falls inside the strip — bit k covers row tmin_y + k // bbox_w,
+      so the kept bits are the contiguous range [lo_r*w, hi_r*w) and the
+      new count is a popcount;
+    - bbox splats: clip the bbox row range to the strip; tmin_y advances to
+      the first included row so the expand kernel's rank -> (dy, dx) decode
+      needs no extra state.
+
+    row_lo/row_hi are traced scalars (they differ per device under
+    shard_map). Returns (counts_d, mask_lo_d, mask_hi_d, tmin_y_d).
+    """
+    ty0 = proj.tile_min[:, 1].astype(jnp.int32)
+    bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
+    bbox_h = jnp.maximum(proj.tile_max[:, 1] - proj.tile_min[:, 1], 1)
+    return restrict_masks_parts(
+        ty0, bbox_w, bbox_h, masks.small, masks.mask_lo, masks.mask_hi,
+        counts_g, row_lo, row_hi,
+    )
+
+
+def restrict_masks_parts(ty0, bbox_w, bbox_h, small, mask_lo, mask_hi,
+                         counts_g, row_lo, row_hi):
+    """restrict_masks_to_strip from explicit components (the sharded step
+    carries these as packed all-gathered rows rather than a Projection)."""
+    lo_r = jnp.clip(row_lo - ty0, 0, bbox_h)
+    hi_r = jnp.clip(row_hi - ty0, 0, bbox_h)
+
+    a_lo, a_hi = _ones_below64(lo_r * bbox_w)
+    b_lo, b_hi = _ones_below64(hi_r * bbox_w)
+    keep_lo = b_lo & ~a_lo
+    keep_hi = b_hi & ~a_hi
+    m_lo = mask_lo & keep_lo
+    m_hi = mask_hi & keep_hi
+    cnt_small = (jax.lax.population_count(m_lo)
+                 + jax.lax.population_count(m_hi)).astype(jnp.int32)
+    cnt_bbox = (hi_r - lo_r) * bbox_w
+
+    producing = counts_g > 0
+    counts_d = jnp.where(small, cnt_small, cnt_bbox)
+    counts_d = jnp.where(producing, counts_d, 0)
+    m_lo = jnp.where(producing, m_lo, 0)
+    m_hi = jnp.where(producing, m_hi, 0)
+    tmin_y_d = jnp.where(small, ty0, ty0 + lo_r)
+    return counts_d, m_lo, m_hi, tmin_y_d
+
+
 def _select_bit(mask_lo, mask_hi, pc_pack, rank):
     """Position of the rank-th set bit of a 64-bit mask (0-indexed).
 

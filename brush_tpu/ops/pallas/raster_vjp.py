@@ -92,10 +92,14 @@ def make_pallas_pipeline(
         (render.pack_decode_rows layout; stop-gradient);
       depth_key: (n,) uint32 — bitcast depth, 0xFFFFFFFF for non-producing;
       tile_ids: (raster_tiles,) i32 tile id per grid step — an ASCENDING
-        strip (ids >= num_tiles render empty tiles). When raster_tiles <
-        num_tiles (tile-sharded rendering), binning covers every tile but
-        only the strip is rasterized, and the backward masks gradient
-        records to the strip's contiguous sorted range.
+        CONTIGUOUS strip starting at tile_base = tile_ids[0] (ids >=
+        num_tiles render empty tiles). When raster_tiles < num_tiles
+        (tile-sharded rendering) the WHOLE pipeline is strip-local: the
+        caller must pass strip-restricted decode rows and depth keys
+        (ops/binning.restrict_masks_to_strip), the pool holds only this
+        strip's records, and the tile sort / bins / raster / backward all
+        run in the strip-local tile domain — per-device work is
+        proportional to the strip's record share, not the frame's.
     order/total are integer side outputs (depth permutation, live records
     clamped to the pool); raw_total is the unclamped exact-hit count, so
     raw_total - total is the number of records silently dropped by the
@@ -113,7 +117,8 @@ def make_pallas_pipeline(
 
     # numpy, not jnp: this closure is lru-cached across traces, and a jnp
     # constant created under one jit trace would leak into the next.
-    boundaries = np.arange(num_tiles + 1, dtype=np.uint32)
+    # Binning runs in the STRIP-LOCAL tile domain [0, raster_tiles).
+    boundaries = np.arange(raster_tiles + 1, dtype=np.uint32)
 
     window = k_exp + 2 * WINDOW_ALIGN
     n_pad = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window
@@ -174,10 +179,20 @@ def make_pallas_pipeline(
         )
 
         # --- tile grouping (TileSort + GetTileBinEdges) ---
+        # Map global tile keys into the strip-local domain. Keys outside
+        # the strip (only possible if the caller's strip restriction and
+        # tile_ids disagree) and expand's sentinel both become the local
+        # sentinel raster_tiles and sort to the back.
+        tile_base = tile_ids[0]
+        keys_i = keys.astype(jnp.int32) - tile_base
+        keys_l = jnp.where(
+            (keys_i >= 0) & (keys_i < raster_tiles),
+            keys_i, raster_tiles,
+        ).astype(jnp.uint32)
         # Stable tile-only sort: records arrive in slot (= depth) order, so
         # stability gives depth order within each tile for free.
         sops = jax.lax.sort(
-            (keys,) + tuple(recs[i] for i in range(PACK_ROWS)),
+            (keys_l,) + tuple(recs[i] for i in range(PACK_ROWS)),
             num_keys=1, is_stable=True,
         )
         skeys = sops[0]
@@ -186,11 +201,11 @@ def make_pallas_pipeline(
 
         tile_bins = jnp.searchsorted(skeys, jnp.asarray(boundaries))
         tile_bins = tile_bins.astype(jnp.int32)
-        # Tile subset: ids past the grid get empty ranges.
-        tid_c = jnp.minimum(tile_ids, num_tiles)
-        starts = tile_bins[tid_c]
-        ends = jnp.where(tile_ids < num_tiles, tile_bins[tid_c + 1],
-                         tile_bins[tid_c])
+        # Grid tiles past num_tiles (strip padding) get empty ranges.
+        tid_l = jnp.clip(tile_ids - tile_base, 0, raster_tiles - 1)
+        starts = tile_bins[tid_l]
+        ends = jnp.where(tile_ids < num_tiles, tile_bins[tid_l + 1],
+                         tile_bins[tid_l])
 
         # --- rasterize (Rasterize) ---
         img, log_t, fidx = rasterize_fwd_pallas(
@@ -231,14 +246,9 @@ def make_pallas_pipeline(
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret, grads_init=grads_init,
         )  # (16, max_isects + k_lanes), tile order
-
-        # Only this strip's sorted range holds real gradient records (the
-        # strip is ascending, so the range is contiguous); everything else
-        # is another device's share or unwritten garbage.
-        if raster_tiles != num_tiles:
-            pos = jax.lax.broadcasted_iota(jnp.int32, (1, max_isects), 1)
-            in_strip = (pos >= starts[0]) & (pos < ends[-1])
-            grads = jnp.where(in_strip, grads[:, :max_isects], 0.0)
+        # The pool is strip-local (every valid record belongs to this
+        # strip), so no strip masking is needed: slots past `total` carry
+        # sentinel splat ids and are zeroed by the live mask below.
 
         # --- group by splat: sort on the carried compact splat id (packed
         # row 7). Compact ids are assigned in depth order, so the sorted id

@@ -5,16 +5,23 @@ Dataflow per step (see sharding.py for the decomposition rationale):
   gaussian-sharded:  project + SH + opacity + exact-tile pretest on the
                      local splat shard
   all_gather (ICI):  attribute/decode rows -> replicated compact arrays
-  replicated:        depth sort + expansion + tile bins (the record
-                     pipeline's integer bookkeeping; cheap relative to
-                     raster and identical on every device)
+  strip-local:       each device restricts the coverage masks to ITS
+                     row-aligned tile strip (ops/binning.
+                     restrict_masks_to_strip) and runs the record pipeline
+                     — depth sort, expansion, tile sort, bins — over a
+                     strip-sized pool holding only its strip's records.
+                     Expansion/tile-sort/bins/raster work is proportional
+                     to the strip's record share (SURVEY §5.7); only the
+                     N-shaped depth sort remains common work (it doubles
+                     as producer compaction and has no cheaper sharded
+                     form — see docs/PERFORMANCE.md).
   tile-sharded:      each device rasterizes its contiguous tile strip
   all_gather (ICI):  image tiles -> full image, loss replicated
-  backward:          each device's strip produces gradient records for a
-                     contiguous sorted range; the segment-sum reduces them
-                     per splat, and the transpose of the attribute
-                     all_gather reduce-scatters the partial cotangents back
-                     to the owning shard. Adam runs locally.
+  backward:          each device's strip-local pool produces gradient
+                     records; the segment-sum reduces them per splat, and
+                     the transpose of the attribute all_gather
+                     reduce-scatters the partial cotangents back to the
+                     owning shard. Adam runs locally.
 
 The reference has no counterpart (single-GPU); this is the BASELINE.md
 "gaussians + image tiles sharded over the mesh" design.
@@ -52,6 +59,7 @@ def make_sharded_train_step(
     max_isects: int | None = None,
     block_size: int = 32,
     backend: str = "auto",
+    strip_pool_slack: float = 2.0,
 ):
     """Build a jitted sharded train step.
 
@@ -68,7 +76,11 @@ def make_sharded_train_step(
     tiles_x = -(-w // TILE_WIDTH)
     tiles_y = -(-h // TILE_WIDTH)
     num_tiles = tiles_x * tiles_y
-    tiles_per = -(-num_tiles // n_dev)
+    # Row-aligned strips: the strip-local mask restriction
+    # (restrict_masks_to_strip) needs each strip to be a whole range of
+    # tile rows. Devices past the last row own empty strips.
+    strip_rows = -(-tiles_y // n_dev)
+    tiles_per = strip_rows * tiles_x
 
     if backend == "auto":
         backend = "xla" if jax.default_backend() == "cpu" else "pallas"
@@ -84,14 +96,20 @@ def make_sharded_train_step(
 
         k_lanes = max(128, block_size)
         k_align = math.lcm(k_lanes, 512)  # pool tiles both k_lanes and k_exp
-        max_isects = -(-max_isects // k_align) * k_align
+        # Strip-local pool: each device holds only its strip's records.
+        # The slack factor absorbs tile-load imbalance; overflow is
+        # observable via num_dropped (psum of per-strip drops).
+        pool_strip = min(max_isects,
+                         int(max_isects * strip_pool_slack / n_dev))
+        pool_strip = max(-(-pool_strip // k_align) * k_align, k_align)
         raster = make_pallas_pipeline(
-            tiles_x, num_tiles, max_isects, capacity, k_lanes=k_lanes,
+            tiles_x, num_tiles, pool_strip, capacity, k_lanes=k_lanes,
             raster_tiles=tiles_per,
             interpret=backend == "pallas_interpret"
             or jax.default_backend() == "cpu",
         )
     else:
+        pool_strip = max_isects
         raster = make_rasterizer(tiles_x, tiles_per, max_isects, block_size)
 
     gather1 = functools.partial(
@@ -103,7 +121,7 @@ def make_sharded_train_step(
 
     def _loss_pipeline(params, xy_dummy_l, active_l, d, gt,
                        viewmat, focal, pixel_center):
-        """Tile-sharded loss on the TPU record pipeline."""
+        """Strip-local loss on the TPU record pipeline."""
         quats_n = params["quats"] / jnp.linalg.norm(
             params["quats"], axis=-1, keepdims=True
         ).clip(1e-12)
@@ -130,34 +148,71 @@ def make_sharded_train_step(
         depth_bits = jax.lax.bitcast_convert_type(
             jnp.maximum(proj_l.depth, 1e-20), jnp.uint32
         )
-        depth_key_l = jnp.where(
+        dkey_raw_l = jnp.where(
             producing_l, depth_bits, jnp.uint32(0xFFFFFFFF)
         )
-
-        from brush_tpu.render import pack_decode_rows
 
         attrs9_l = jnp.stack(
             [xy_l[:, 0], xy_l[:, 1], proj_l.conic[:, 0], proj_l.conic[:, 1],
              proj_l.conic[:, 2], color_l[:, 0], color_l[:, 1],
              color_l[:, 2], opac_l], axis=0,
         )
-        decode_l = jax.lax.stop_gradient(
-            pack_decode_rows(proj_l, masks, counts_g)
+        # Non-differentiable per-splat metadata, packed into 6 u32 rows for
+        # one gather: [tmin_x|tmin_y<<16, bbox_w|bbox_h<<16,
+        # counts|small<<31, mask_lo, mask_hi, depth_key].
+        u32 = lambda v: v.astype(jnp.uint32)
+        bbox_w_l = jnp.clip(
+            proj_sg.tile_max[:, 0] - proj_sg.tile_min[:, 0], 1, 1023
+        )
+        bbox_h_l = jnp.maximum(
+            proj_sg.tile_max[:, 1] - proj_sg.tile_min[:, 1], 1
+        )
+        meta_l = jnp.stack(
+            [u32(proj_sg.tile_min[:, 0]) | (u32(proj_sg.tile_min[:, 1]) << 16),
+             u32(bbox_w_l) | (u32(bbox_h_l) << 16),
+             u32(counts_g) | (u32(masks.small) << 31),
+             masks.mask_lo, masks.mask_hi, dkey_raw_l], axis=0,
         )
 
         # Re-shard: gaussian-parallel -> replicated rows. The backward of
-        # these gathers reduce-scatters the per-splat cotangents back to
+        # the attrs gather reduce-scatters the per-splat cotangents back to
         # the owning shard over ICI.
         attrs9 = gather1(attrs9_l)
-        decode = gather1(decode_l)
-        depth_key = gather0(depth_key_l)
+        meta = gather1(jax.lax.stop_gradient(meta_l))
+
+        # Strip-local record pipeline: restrict coverage to MY tile rows,
+        # so the pool, tile sort, bins and raster all scale with the
+        # strip's record share instead of the frame's.
+        from brush_tpu.ops.binning import restrict_masks_parts
+        from brush_tpu.render import pack_decode_parts
+
+        m16 = jnp.uint32(0xFFFF)
+        tmin_x = (meta[0] & m16).astype(jnp.int32)
+        tmin_y = (meta[0] >> 16).astype(jnp.int32)
+        bbox_w = (meta[1] & m16).astype(jnp.int32)
+        bbox_h = (meta[1] >> 16).astype(jnp.int32)
+        counts_f = (meta[2] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        small_f = meta[2] >> 31
+
+        r0 = d * strip_rows
+        counts_d, m_lo_d, m_hi_d, tmin_y_d = restrict_masks_parts(
+            tmin_y, bbox_w, bbox_h, small_f.astype(bool),
+            meta[3], meta[4], counts_f, r0, r0 + strip_rows,
+        )
+        decode_d = pack_decode_parts(
+            tmin_x, tmin_y_d, bbox_w, counts_d, small_f, m_lo_d, m_hi_d
+        )
+        depth_key = jnp.where(counts_d > 0, meta[5], jnp.uint32(0xFFFFFFFF))
 
         t0 = d * tiles_per
         my_tiles = t0 + jnp.arange(tiles_per, dtype=jnp.int32)
-        img_tiles_l, _, num_isects, raw_total = raster(
-            attrs9, decode, depth_key, my_tiles
+        img_tiles_l, _, total_l, raw_total_l = raster(
+            attrs9, decode_d, depth_key, my_tiles
         )
-        num_dropped = jnp.maximum(raw_total - max_isects, 0).astype(jnp.int32)
+        num_isects = jax.lax.psum(total_l.astype(jnp.int32), AXIS)
+        num_dropped = jax.lax.psum(
+            jnp.maximum(raw_total_l - pool_strip, 0).astype(jnp.int32), AXIS
+        )
 
         # Re-shard: tile-parallel -> full image for the loss.
         img_tiles_f = gather0(img_tiles_l)

@@ -84,12 +84,21 @@ def pack_decode_rows(proj, masks, counts_g) -> jnp.ndarray:
       row 1: counts (31b) | small << 31
       row 2: mask_lo   row 3: mask_hi
     """
-    u32 = lambda v: v.astype(jnp.uint32)
     bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
-    d0 = (u32(proj.tile_min[:, 0]) | (u32(proj.tile_min[:, 1]) << 11)
-          | (u32(bbox_w) << 22))
-    d1 = u32(counts_g) | (u32(masks.small) << 31)
-    return jnp.stack([d0, d1, masks.mask_lo, masks.mask_hi], axis=0)
+    return pack_decode_parts(
+        proj.tile_min[:, 0], proj.tile_min[:, 1], bbox_w, counts_g,
+        masks.small, masks.mask_lo, masks.mask_hi,
+    )
+
+
+def pack_decode_parts(tmin_x, tmin_y, bbox_w, counts, small, m_lo, m_hi):
+    """pack_decode_rows from explicit components (the sharded strip path
+    substitutes strip-restricted counts/masks/tmin_y — see
+    ops/binning.restrict_masks_to_strip)."""
+    u32 = lambda v: v.astype(jnp.uint32)
+    d0 = u32(tmin_x) | (u32(tmin_y) << 11) | (u32(bbox_w) << 22)
+    d1 = u32(counts) | (u32(small) << 31)
+    return jnp.stack([d0, d1, m_lo, m_hi], axis=0)
 
 
 def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:

@@ -376,134 +376,145 @@ class SplatTrainer:
 
     @functools.lru_cache(maxsize=16)
     def _get_refine_fn(self, capacity: int, sh_count: int, do_reset: bool):
-        cfg = self.config
+        return jax.jit(make_refine_fn(self.config, capacity, do_reset))
 
-        def refine_fn(state: TrainState, pre: Splats, key):
-            post = state.splats
-            alive = post.active_mask()
 
-            counts = jnp.maximum(state.xy_grad_counts, 1).astype(jnp.float32)
-            grads_avg = state.grad_2d_accum / counts
-            big = grads_avg >= cfg.densify_grad_thresh
+def make_refine_fn(cfg: TrainConfig, capacity: int, do_reset: bool):
+    """The refine computation as a pure function (unjitted).
 
-            scales_post = post.scales()
-            max_scale = jnp.max(scales_post, axis=1)
-            small = max_scale < cfg.densify_size_thresh
+    Shared by the single-device trainer (jitted as-is) and the sharded
+    trainer (jitted with row-sharded in/out shardings: every operation here
+    is elementwise over rows except the stable-compaction argsort and row
+    gathers, which GSPMD executes with a transient all-gather — acceptable
+    at a refine-every-100-steps cadence; see parallel/trainer.py).
+    """
 
-            clone_mask = small & big & alive
-            split_mask = (~small) & big & alive
-            append_mask = clone_mask | split_mask
+    def refine_fn(state: TrainState, pre: Splats, key):
+        post = state.splats
+        alive = post.active_mask()
 
-            # Split offset samples (train.rs:494-516): Normal(0, 0.5) in the
-            # splat frame scaled by the post-step scale, rotated by the
-            # post-step quaternion.
-            noise = 0.5 * jax.random.normal(key, (capacity, 3)) * scales_post
-            offset = quat_rotate(post.quats, noise)
-            split_log_scales = jnp.log(jnp.maximum(scales_post / 1.6, 1e-30))
+        counts = jnp.maximum(state.xy_grad_counts, 1).astype(jnp.float32)
+        grads_avg = state.grad_2d_accum / counts
+        big = grads_avg >= cfg.densify_grad_thresh
 
-            cm = clone_mask[:, None]
-            app_means = jnp.where(cm, pre.means, pre.means + offset)
-            app_quats = jnp.where(cm, pre.quats, post.quats)
-            app_sh = jnp.where(clone_mask[:, None, None], pre.sh_coeffs, post.sh_coeffs)
-            app_opac = jnp.where(clone_mask, pre.raw_opacity, post.raw_opacity)
-            app_logs = jnp.where(cm, pre.log_scales, split_log_scales)
+        scales_post = post.scales()
+        max_scale = jnp.max(scales_post, axis=1)
+        small = max_scale < cfg.densify_size_thresh
 
-            if cfg.faithful_split_bug:
-                # The reference's in-place split modifications target clones
-                # that are then discarded (train.rs:482-520) — originals
-                # keep their post-step mean and scale.
-                orig_means = post.means
-                orig_logs = post.log_scales
-            else:
-                sm = split_mask[:, None]
-                noise2 = 0.5 * jax.random.normal(
-                    jax.random.fold_in(key, 1), (capacity, 3)
-                ) * scales_post
-                offset2 = quat_rotate(post.quats, noise2)
-                orig_means = jnp.where(sm, pre.means - offset2, post.means)
-                orig_logs = jnp.where(sm, split_log_scales, post.log_scales)
+        clone_mask = small & big & alive
+        split_mask = (~small) & big & alive
+        append_mask = clone_mask | split_mask
 
-            # Combined candidate set: C originals then C append slots.
-            comb = {
-                "means": jnp.concatenate([orig_means, app_means]),
-                "quats": jnp.concatenate([post.quats, app_quats]),
-                "sh_coeffs": jnp.concatenate([post.sh_coeffs, app_sh]),
-                "raw_opacity": jnp.concatenate([post.raw_opacity, app_opac]),
-                "log_scales": jnp.concatenate([orig_logs, app_logs]),
-            }
-            valid = jnp.concatenate([alive, append_mask])
+        # Split offset samples (train.rs:494-516): Normal(0, 0.5) in the
+        # splat frame scaled by the post-step scale, rotated by the
+        # post-step quaternion.
+        noise = 0.5 * jax.random.normal(key, (capacity, 3)) * scales_post
+        offset = quat_rotate(post.quats, noise)
+        split_log_scales = jnp.log(jnp.maximum(scales_post / 1.6, 1e-30))
 
-            # Prune (train.rs:543-557) on the combined set.
-            opac_all = jax.nn.sigmoid(comb["raw_opacity"])
-            scale_all = jnp.max(jnp.exp(comb["log_scales"]), axis=1)
-            prune_alpha = opac_all < cfg.cull_alpha_thresh
-            prune_scale = scale_all > cfg.cull_scale_thresh
-            keep = valid & ~prune_alpha & ~prune_scale
+        cm = clone_mask[:, None]
+        app_means = jnp.where(cm, pre.means, pre.means + offset)
+        app_quats = jnp.where(cm, pre.quats, post.quats)
+        app_sh = jnp.where(clone_mask[:, None, None], pre.sh_coeffs, post.sh_coeffs)
+        app_opac = jnp.where(clone_mask, pre.raw_opacity, post.raw_opacity)
+        app_logs = jnp.where(cm, pre.log_scales, split_log_scales)
 
-            # Stable compaction: kept rows first, original order preserved.
-            perm = jnp.argsort(~keep, stable=True)[:capacity]
-            n_live = jnp.sum(keep).astype(jnp.int32)
-            n_live = jnp.minimum(n_live, capacity)
-            row_live = jnp.arange(capacity) < n_live
+        if cfg.faithful_split_bug:
+            # The reference's in-place split modifications target clones
+            # that are then discarded (train.rs:482-520) — originals
+            # keep their post-step mean and scale.
+            orig_means = post.means
+            orig_logs = post.log_scales
+        else:
+            sm = split_mask[:, None]
+            noise2 = 0.5 * jax.random.normal(
+                jax.random.fold_in(key, 1), (capacity, 3)
+            ) * scales_post
+            offset2 = quat_rotate(post.quats, noise2)
+            orig_means = jnp.where(sm, pre.means - offset2, post.means)
+            orig_logs = jnp.where(sm, split_log_scales, post.log_scales)
 
-            def take(x, fill=0.0):
-                out = x[perm]
-                shape = (-1,) + (1,) * (out.ndim - 1)
-                return jnp.where(row_live.reshape(shape), out, fill)
+        # Combined candidate set: C originals then C append slots.
+        comb = {
+            "means": jnp.concatenate([orig_means, app_means]),
+            "quats": jnp.concatenate([post.quats, app_quats]),
+            "sh_coeffs": jnp.concatenate([post.sh_coeffs, app_sh]),
+            "raw_opacity": jnp.concatenate([post.raw_opacity, app_opac]),
+            "log_scales": jnp.concatenate([orig_logs, app_logs]),
+        }
+        valid = jnp.concatenate([alive, append_mask])
 
-            new_opac = take(comb["raw_opacity"], PADDING_RAW_OPACITY)
-            if do_reset:
-                # Opacity reset (train.rs:205-209,559-562).
-                new_opac = jnp.where(
-                    row_live,
-                    inverse_sigmoid(cfg.reset_alpha_value),
-                    new_opac,
-                )
+        # Prune (train.rs:543-557) on the combined set.
+        opac_all = jax.nn.sigmoid(comb["raw_opacity"])
+        scale_all = jnp.max(jnp.exp(comb["log_scales"]), axis=1)
+        prune_alpha = opac_all < cfg.cull_alpha_thresh
+        prune_scale = scale_all > cfg.cull_scale_thresh
+        keep = valid & ~prune_alpha & ~prune_scale
 
-            new_quats = take(comb["quats"])
-            new_quats = new_quats.at[:, 0].set(
-                jnp.where(row_live, new_quats[:, 0], 1.0)
-            )
-            splats = Splats(
-                means=take(comb["means"]),
-                sh_coeffs=take(comb["sh_coeffs"]),
-                quats=new_quats,
-                raw_opacity=new_opac,
-                log_scales=take(comb["log_scales"], -10.0),
-                n_live=n_live,
+        # Stable compaction: kept rows first, original order preserved.
+        perm = jnp.argsort(~keep, stable=True)[:capacity]
+        n_live = jnp.sum(keep).astype(jnp.int32)
+        n_live = jnp.minimum(n_live, capacity)
+        row_live = jnp.arange(capacity) < n_live
+
+        def take(x, fill=0.0):
+            out = x[perm]
+            shape = (-1,) + (1,) * (out.ndim - 1)
+            return jnp.where(row_live.reshape(shape), out, fill)
+
+        new_opac = take(comb["raw_opacity"], PADDING_RAW_OPACITY)
+        if do_reset:
+            # Opacity reset (train.rs:205-209,559-562).
+            new_opac = jnp.where(
+                row_live,
+                inverse_sigmoid(cfg.reset_alpha_value),
+                new_opac,
             )
 
-            # Optimizer state surgery: appended rows (perm >= C) start with
-            # zero moments; survivors keep theirs.
-            if cfg.keep_opt_state_on_refine:
-                is_new = (perm >= capacity) | ~row_live
+        new_quats = take(comb["quats"])
+        new_quats = new_quats.at[:, 0].set(
+            jnp.where(row_live, new_quats[:, 0], 1.0)
+        )
+        splats = Splats(
+            means=take(comb["means"]),
+            sh_coeffs=take(comb["sh_coeffs"]),
+            quats=new_quats,
+            raw_opacity=new_opac,
+            log_scales=take(comb["log_scales"], -10.0),
+            n_live=n_live,
+        )
 
-                def fix(x):
-                    padded = jnp.concatenate([x, jnp.zeros_like(x)])[perm]
-                    shape = (-1,) + (1,) * (x.ndim - 1)
-                    return jnp.where(is_new.reshape(shape), 0.0, padded)
+        # Optimizer state surgery: appended rows (perm >= C) start with
+        # zero moments; survivors keep theirs.
+        if cfg.keep_opt_state_on_refine:
+            is_new = (perm >= capacity) | ~row_live
 
-                opt = AdamState(
-                    m={k: fix(v) for k, v in state.opt.m.items()},
-                    v={k: fix(v) for k, v in state.opt.v.items()},
-                    count=state.opt.count,
-                )
-            else:
-                opt = init_adam(splats.params())
+            def fix(x):
+                padded = jnp.concatenate([x, jnp.zeros_like(x)])[perm]
+                shape = (-1,) + (1,) * (x.ndim - 1)
+                return jnp.where(is_new.reshape(shape), 0.0, padded)
 
-            stats = RefineStats(
-                num_cloned=jnp.sum(clone_mask),
-                num_split=jnp.sum(split_mask),
-                num_pruned_alpha=jnp.sum(valid & prune_alpha),
-                num_pruned_scale=jnp.sum(valid & ~prune_alpha & prune_scale),
-                n_live=n_live,
+            opt = AdamState(
+                m={k: fix(v) for k, v in state.opt.m.items()},
+                v={k: fix(v) for k, v in state.opt.v.items()},
+                count=state.opt.count,
             )
-            new_state = TrainState(
-                splats=splats,
-                opt=opt,
-                grad_2d_accum=jnp.zeros((capacity,), jnp.float32),
-                xy_grad_counts=jnp.zeros((capacity,), jnp.int32),
-            )
-            return new_state, stats
+        else:
+            opt = init_adam(splats.params())
 
-        return jax.jit(refine_fn)
+        stats = RefineStats(
+            num_cloned=jnp.sum(clone_mask),
+            num_split=jnp.sum(split_mask),
+            num_pruned_alpha=jnp.sum(valid & prune_alpha),
+            num_pruned_scale=jnp.sum(valid & ~prune_alpha & prune_scale),
+            n_live=n_live,
+        )
+        new_state = TrainState(
+            splats=splats,
+            opt=opt,
+            grad_2d_accum=jnp.zeros((capacity,), jnp.float32),
+            xy_grad_counts=jnp.zeros((capacity,), jnp.int32),
+        )
+        return new_state, stats
+
+    return refine_fn

@@ -86,3 +86,78 @@ def test_large_bbox_records_land_in_correct_tiles():
     counts = np.asarray(isect.ends) - np.asarray(isect.starts)
     np.testing.assert_array_equal(counts, hit.astype(np.int64))
     assert int(isect.num_isects) == int(hit.sum())
+
+
+def test_strip_restriction_matches_bruteforce():
+    """restrict_masks_to_strip must keep exactly the records whose tile row
+    falls in [row_lo, row_hi), for both the bitmask and bbox paths."""
+    from brush_tpu.ops.binning import restrict_masks_to_strip
+    from brush_tpu.camera import Camera
+    from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.rasterize_reference import camera_params
+    from brush_tpu import splats as sp
+    import jax
+
+    rng = np.random.default_rng(11)
+    model = sp.from_random(rng, [-2, -2, -2], [2, 2, 2], count=120,
+                           sh_degree=0)
+    # A few huge splats force the conservative bbox path (area > 64).
+    model = model.replace(
+        log_scales=model.log_scales.at[:6].set(np.log(1.5)))
+    cam = Camera(position=[0, 0, -5.0], rotation=[1, 0, 0, 0],
+                 fov_x=np.pi / 3, fov_y=np.pi / 3)
+    img_size = (128, 96)
+    cp = camera_params(cam, img_size)
+    proj = project_splats(model.means, model.log_scales,
+                          model.quats / np.linalg.norm(model.quats, axis=-1,
+                                                       keepdims=True),
+                          cp.viewmat, cp.focal, cp.pixel_center, img_size,
+                          active=model.active_mask())
+    opac = jax.nn.sigmoid(model.raw_opacity)
+    masks = precompute_tile_masks(proj, opac)
+    producing = np.asarray(proj.visible & (masks.counts > 0))
+    counts_g = jnp.where(proj.visible & (masks.counts > 0), masks.counts, 0)
+
+    tiles_y = 96 // 16
+    for row_lo, row_hi in [(0, 2), (2, 4), (4, 6), (0, 6), (3, 3), (5, 9)]:
+        counts_d, m_lo_d, m_hi_d, tmin_y_d = jax.jit(
+            restrict_masks_to_strip)(proj, masks, counts_g,
+                                     jnp.int32(row_lo), jnp.int32(row_hi))
+        counts_d = np.asarray(counts_d)
+        tmin_y_d = np.asarray(tmin_y_d)
+        m_lo_d, m_hi_d = np.asarray(m_lo_d), np.asarray(m_hi_d)
+
+        tm = np.asarray(proj.tile_min)
+        tM = np.asarray(proj.tile_max)
+        small = np.asarray(masks.small)
+        mlo, mhi = np.asarray(masks.mask_lo), np.asarray(masks.mask_hi)
+        for i in range(120):
+            if not producing[i]:
+                assert counts_d[i] == 0
+                continue
+            w = max(min(tM[i, 0] - tm[i, 0], 1023), 1)
+            h = max(tM[i, 1] - tm[i, 1], 1)
+            if small[i]:
+                mask = (int(mhi[i]) << 32) | int(mlo[i])
+                want_bits = [k for k in range(64)
+                             if (mask >> k) & 1
+                             and row_lo <= tm[i, 1] + k // w < row_hi]
+                got_mask = (int(m_hi_d[i]) << 32) | int(m_lo_d[i])
+                got_bits = [k for k in range(64) if (got_mask >> k) & 1]
+                assert got_bits == want_bits, f"splat {i} mask bits"
+                assert counts_d[i] == len(want_bits), f"splat {i} count"
+                assert tmin_y_d[i] == tm[i, 1]
+            else:
+                lo = min(max(row_lo - tm[i, 1], 0), h)
+                hi = min(max(row_hi - tm[i, 1], 0), h)
+                assert counts_d[i] == max(hi - lo, 0) * w, f"splat {i} bbox"
+                assert tmin_y_d[i] == tm[i, 1] + lo
+
+    # Strips tile the image: per-strip counts must sum to the full counts.
+    cap = int(model.capacity)
+    total = np.zeros(cap, np.int64)
+    for r in range(0, tiles_y, 2):
+        c, _, _, _ = jax.jit(restrict_masks_to_strip)(
+            proj, masks, counts_g, jnp.int32(r), jnp.int32(r + 2))
+        total += np.asarray(c)
+    np.testing.assert_array_equal(total, np.asarray(counts_g))

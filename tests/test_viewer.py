@@ -74,8 +74,9 @@ def test_page_and_state(server):
     assert b"brush_tpu viewer" in _get("/")
     st = json.loads(_get("/api/state"))
     assert st["training"] and st["num_views"] == 3
-    # training advances
-    for _ in range(200):
+    # training advances (generous deadline: compiles contend with other
+    # test processes for CPU when the suite runs in parallel)
+    for _ in range(900):
         if json.loads(_get("/api/state")).get("iter", 0) > 2:
             break
         time.sleep(0.1)
