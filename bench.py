@@ -1,11 +1,22 @@
 """Benchmark: rasterizer throughput on the real chip.
 
 Mirrors the reference's divan benchmark setup (reference:
-brush-render/benches/render_bench.rs: 2^21 random splats, 512^2/1024^2,
-forward and forward+backward, GPU sync per sample) and reports ONE JSON line
-for the driver.
+brush-render/benches/render_bench.rs: random splats, density = prefix
+fraction of the splat set, 512^2/1024^2, forward and forward+backward, GPU
+sync per sample) and reports ONE JSON line for the driver.
 
-Headline metric: forward-render megapixels/second at ~1M splats, 1024^2.
+Headline metric: forward-render megapixels/second at ~1M splats, 1024^2
+(unchanged across rounds for comparability). Secondary keys:
+  matrix   {"<res>_d<density>[_train]": ms, ...}  — render_bench.rs's
+           sweep at the {0.1, 1.0} x {512, 1024} corners by default
+           (each point is a separate XLA compile; the full 10-density
+           sweep is behind --full because axon compiles cost minutes —
+           dropped points are a deliberate, logged truncation).
+  stages   {"prep_sort": ms, "expand_tilesort": ms, "raster": ms} —
+           marginal costs from jitted prefix ablations of the SAME
+           pipeline (staged timing through axon is meaningless: every
+           separate dispatch pays a ~15-30 ms tunnel constant).
+
 vs_baseline is measured against BASELINE.md's ">=3x Brush-on-GPU" target
 using 1000 Mpix/s as the assumed Brush-class single-GPU figure (the
 reference publishes no absolute numbers — README.md:91-93 is qualitative),
@@ -13,9 +24,13 @@ i.e. vs_baseline = mpix_per_s / 1000.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+DENSITIES = [0.1, 1.0]
+FULL_DENSITIES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 
 
 def _median_time(fn, args, sync, iters=12):
@@ -35,13 +50,20 @@ def main():
     import jax.numpy as jnp
 
     from brush_tpu.camera import Camera
-    from brush_tpu.ops.rasterize_reference import CameraParams, camera_params
+    from brush_tpu.ops.rasterize_reference import camera_params
     from brush_tpu.render import render_splats
     from brush_tpu.splats import from_random
+    from brush_tpu.optim import init_adam, adam_step
 
-    n_splats = 1 << 20
-    img_size = (1024, 1024)
+    full = "--full" in sys.argv
+    with_stages = "--no-stages" not in sys.argv
 
+    # Smoke-test override (CI/CPU): BENCH_N shrinks the scene; the metric
+    # name still reflects the real config only when unset.
+    import os
+    n_splats = int(os.environ.get("BENCH_N", 1 << 20))
+    hi_res = int(os.environ.get("BENCH_RES", 1024))
+    lo_res = hi_res // 2
     rng = np.random.default_rng(0)
     # Random splats in a box in front of the camera, like render_bench.rs:34.
     splats = from_random(
@@ -52,61 +74,67 @@ def main():
         position=[0, 0, -8.0], rotation=[1, 0, 0, 0],
         fov_x=np.pi / 2, fov_y=np.pi / 2,
     )
-    cp = camera_params(cam, img_size)
 
-    # Pool sized like the adaptive trainer would size it for this scene
-    # (true records ~2.16M; the r1 bench used a slack 3<<20 pool and paid
-    # for the padding in every pool-sized op).
-    max_isects = 2162688
+    def args_at(density):
+        n = int(n_splats * density)
+        return jax.device_put((
+            splats.means[:n], splats.log_scales[:n], splats.quats[:n],
+            splats.sh_coeffs[:n], splats.raw_opacity[:n],
+        ))
 
-    @jax.jit
-    def forward(means, log_scales, quats, sh_coeffs, raw_opacity):
-        img, aux = render_splats(
-            means, log_scales, quats, sh_coeffs, raw_opacity,
-            cp, img_size, block_size=512, max_isects=max_isects,
-        )
-        return img, aux.num_isects
+    # Pool sized like the adaptive trainer would size it for this scene at
+    # full density (true records ~2.16M); scaled by density for the matrix.
+    def pool_at(density):
+        return max(-(-int(2162688 * density) // 512) * 512, 1 << 16)
 
-    # Full training step: fwd + bwd + per-group Adam on L1 loss
-    # (the reference's fwd+bwd divan group, render_bench.rs:199-237).
-    from brush_tpu.optim import init_adam, adam_step
+    def make_fwd(img_size, density):
+        cp = camera_params(cam, img_size)
+        mi = pool_at(density)
 
-    gt = jnp.zeros((img_size[1], img_size[0], 3), jnp.float32)
-
-    @jax.jit
-    def train_step(params, opt):
-        def loss_fn(p):
-            img, _ = render_splats(
-                p["means"], p["log_scales"], p["quats"], p["sh_coeffs"],
-                p["raw_opacity"], cp, img_size, block_size=512,
-                max_isects=max_isects,
+        @jax.jit
+        def forward(means, log_scales, quats, sh_coeffs, raw_opacity):
+            img, aux = render_splats(
+                means, log_scales, quats, sh_coeffs, raw_opacity,
+                cp, img_size, block_size=512, max_isects=mi,
             )
-            return jnp.mean(jnp.abs(img[..., :3] - gt))
+            return img, aux.num_isects
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        lrs = {"means": 1.6e-4, "raw_opacity": 5e-2, "sh_coeffs": 4e-3,
-               "quats": 2e-3, "log_scales": 1e-2}
-        params, opt = adam_step(params, grads, opt, lrs)
-        return params, opt, loss
+        return forward
 
-    args = jax.device_put(
-        (
-            splats.means, splats.log_scales, splats.quats,
-            splats.sh_coeffs, splats.raw_opacity,
-        )
-    )
+    def make_train(img_size, density):
+        cp = camera_params(cam, img_size)
+        mi = pool_at(density)
+        gt = jnp.zeros((img_size[1], img_size[0], 3), jnp.float32)
 
-    # Median of individually synced iterations: the device tunnel
-    # front-loads multi-second one-time work onto the first executions.
-    dt_fwd = _median_time(
-        forward, args, lambda out: np.asarray(out[0][:1, :1])
-    )
-    mpix = img_size[0] * img_size[1] / 1e6
-    mpix_per_s = mpix / dt_fwd
+        @jax.jit
+        def train_step(params, opt):
+            def loss_fn(p):
+                img, _ = render_splats(
+                    p["means"], p["log_scales"], p["quats"], p["sh_coeffs"],
+                    p["raw_opacity"], cp, img_size, block_size=512,
+                    max_isects=mi,
+                )
+                return jnp.mean(jnp.abs(img[..., :3] - gt))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            lrs = {"means": 1.6e-4, "raw_opacity": 5e-2, "sh_coeffs": 4e-3,
+                   "quats": 2e-3, "log_scales": 1e-2}
+            params, opt = adam_step(params, grads, opt, lrs)
+            return params, opt, loss
+
+        return train_step
+
+    sync_img = lambda out: np.asarray(out[0][:1, :1])
+
+    # --- headline: fwd + train step at 1M splats, 1024^2 ---
+    args_full = args_at(1.0)
+    dt_fwd = _median_time(make_fwd((hi_res, hi_res), 1.0), args_full, sync_img)
+    mpix_per_s = hi_res * hi_res / 1e6 / dt_fwd
 
     params = jax.device_put(splats.params())
     opt = init_adam(params)
     state = [params, opt]
+    train_step = make_train((hi_res, hi_res), 1.0)
 
     def step_once():
         state[0], state[1], loss = train_step(state[0], state[1])
@@ -115,6 +143,48 @@ def main():
     dt_train = _median_time(
         lambda: (step_once(),), (), lambda out: np.asarray(out[0])
     )
+
+    # --- matrix (render_bench.rs sweep corners; --full = all densities) ---
+    matrix = {}
+    densities = FULL_DENSITIES if full else DENSITIES
+    for img_size in ((lo_res, lo_res), (hi_res, hi_res)):
+        for d in densities:
+            if img_size == (hi_res, hi_res) and d == 1.0:
+                matrix[f"{img_size[0]}_d{d}"] = round(dt_fwd * 1e3, 2)
+                continue  # the headline already measured this point
+            a = args_at(d)
+            dt = _median_time(make_fwd(img_size, d), a, sync_img)
+            matrix[f"{img_size[0]}_d{d}"] = round(dt * 1e3, 2)
+    # fwd+bwd at the 512 corner (the reference's bwd group).
+    p512 = {k: v for k, v in params.items()}
+    st = [p512, init_adam(p512)]
+    ts512 = make_train((lo_res, lo_res), 1.0)
+
+    def step512():
+        st[0], st[1], loss = ts512(st[0], st[1])
+        return loss
+
+    matrix[f"{lo_res}_d1.0_train"] = round(_median_time(
+        lambda: (step512(),), (), lambda out: np.asarray(out[0])
+    ) * 1e3, 2)
+
+    # --- stage buckets from jitted prefix ablations ---
+    stages = {}
+    if with_stages:
+        from scripts.profile_r3 import make_staged, MAX_ISECTS  # noqa: F401
+
+        cp = camera_params(cam, (1024, 1024))  # stage ablation is fixed-config
+        t_sort = _median_time(
+            jax.jit(make_staged(cp, "sort")), args_full,
+            lambda out: np.asarray(jax.tree_util.tree_leaves(out)[0][:1]))
+        t_tile = _median_time(
+            jax.jit(make_staged(cp, "tilesort")), args_full,
+            lambda out: np.asarray(jax.tree_util.tree_leaves(out)[0][:1]))
+        stages = {
+            "prep_sort_ms": round(t_sort * 1e3, 2),
+            "expand_tilesort_ms": round((t_tile - t_sort) * 1e3, 2),
+            "raster_bins_ms": round((dt_fwd - t_tile) * 1e3, 2),
+        }
 
     print(
         json.dumps(
@@ -126,6 +196,8 @@ def main():
                 "fwd_ms": round(dt_fwd * 1e3, 2),
                 "train_step_ms": round(dt_train * 1e3, 2),
                 "train_iters_per_s": round(1.0 / dt_train, 2),
+                "matrix_ms": matrix,
+                "stages": stages,
             }
         )
     )
