@@ -237,9 +237,11 @@ def make_pallas_pipeline(
         g_img = g[0]
         grads_init = None
         if DEBUG_GRAD_POOL_FILL is not None:
+            from brush_tpu.ops.pallas.rasterize_bwd import ZERO_MULT
+
             grads_init = jnp.full(
-                (GRAD_ROWS, max_isects + k_lanes), DEBUG_GRAD_POOL_FILL,
-                jnp.float32,
+                (GRAD_ROWS, max_isects + ZERO_MULT * k_lanes),
+                DEBUG_GRAD_POOL_FILL, jnp.float32,
             )
         grads = rasterize_bwd_pallas(
             packed, g_img, log_t, fidx, starts, ends, tile_ids,
@@ -329,15 +331,16 @@ def make_pallas_rasterizer(
             packed, g, log_t, fidx, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=num_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
-        )  # (16, max_isects + k_lanes)
+        )  # (16, max_isects + slack)
 
         # Alignment-padding and overflow slots carry splat id n (see
-        # ops/binning.py) and the extra K-lane window is padded with n too:
+        # ops/binning.py) and the slack lanes are padded with n too:
         # unwritten-garbage records land in the scratch row n and are
         # sliced off. ONE fused row scatter-add — scatters cost per index,
         # so four separate ones would cost 4x.
-        recs = grads[:9].T  # (max_isects + k, 9)
-        gid = jnp.pad(isect_gid, (0, k_lanes), constant_values=n)
+        recs = grads[:9].T  # (max_isects + slack, 9)
+        gid = jnp.pad(isect_gid, (0, grads.shape[1] - max_isects),
+                      constant_values=n)
         acc = jnp.zeros((n + 1, 9), jnp.float32).at[gid].add(recs)[:n]
         return (
             acc[:, 0:2], acc[:, 2:5], acc[:, 5:8], acc[:, 8],

@@ -13,10 +13,15 @@ v_xy / v_conic chain (:253-270). The reference's atomic gradient machinery
   per-splat gradients outside the kernel (XLA scatter-add — sorted-order,
   race-free by construction since tile ranges are disjoint).
 
-Output writes are synchronous (start+wait per batch) so overlapping lane
-windows between adjacent tiles' ranges cannot race; the zero-masked lanes a
-tile writes beyond its own range are overwritten by the owning tile's later
-grid step.
+Output writes are asynchronous with a two-slot ring (waited two batches
+later, drained at each tile's end); input copies are n_buf-deep. The
+cross-tile hazard — adjacent tiles' ranges share a lane-aligned boundary
+window — stays safe because every write of tile t drains before tile t+1
+starts, tiles run in ascending order, and the zero-masked lanes a tile
+writes beyond its own range are overwritten by the owning (later) tile.
+The skipped-suffix zero-fill writes ZERO_MULT batches per copy from a wide
+zero scratch; the output pool carries ZERO_MULT*k_lanes slack lanes so the
+last window never clamps backward into a previous tile's finished records.
 
 Uses the same tile-local coordinate frame and rank-6 sigma factorization as
 the forward kernel (see rasterize_fwd.py).
@@ -42,14 +47,15 @@ from brush_tpu.ops.pallas.rasterize_fwd import (
 )
 
 GRAD_ROWS = 16  # v_xy(2), v_conic(3), v_color(3), v_opac(1), 7 pad
+ZERO_MULT = 4   # batches zero-filled per DMA from the wide zero scratch
 
 
 def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
-                     tiles_per_step: int = 1):
+                     tiles_per_step: int = 1, n_buf: int = 4):
     def kernel(starts_ref, ends_ref, tile_ids_ref,
                packed_hbm, vout_ref, logt_ref, fidx_ref,
                grads_hbm,
-               buf, gbuf, mbuf, in_sem, out_sem, m_sem):
+               buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem):
         # Several tiles per grid step (see rasterize_fwd): the sweep is
         # strictly sequential within a step, so the cross-tile
         # leading-boundary merge keeps its ordering guarantee.
@@ -58,12 +64,12 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
             _run_tile(step * tiles_per_step + g, g,
                       starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                       vout_ref, logt_ref, fidx_ref, grads_hbm,
-                      buf, gbuf, mbuf, in_sem, out_sem, m_sem)
+                      buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem)
 
     def _run_tile(t, g, starts_ref, ends_ref, tile_ids_ref,
                   packed_hbm, vout_ref, logt_ref, fidx_ref,
                   grads_hbm,
-                  buf, gbuf, mbuf, in_sem, out_sem, m_sem):
+                  buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem):
         start = starts_ref[t]
         end = ends_ref[t]
         base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
@@ -108,31 +114,54 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
                 in_sem.at[slot],
             )
 
+        first = zstart - 1  # highest batch the compute sweep touches
+
         @pl.when(num_batches > 0)
         def _():
-            gbuf[:, :] = jnp.zeros((GRAD_ROWS, k_lanes), jnp.float32)
+            # Zero the skipped suffix ZERO_MULT batches per ping-ponged
+            # async copy (the output pool carries ZERO_MULT*k_lanes slack,
+            # so the last window may overshoot num_batches harmlessly —
+            # those lanes belong to later tiles, which run afterwards).
+            zbuf[:, :] = jnp.zeros((GRAD_ROWS, ZERO_MULT * k_lanes),
+                                   jnp.float32)
+            nz = pl.cdiv(num_batches - zstart, ZERO_MULT)
 
-            def zero_body(b, _):
-                off = base + b * k_lanes
-                zdma = pltpu.make_async_copy(
-                    gbuf, grads_hbm.at[:, pl.ds(off, k_lanes)], out_sem
+            def zdma(i):
+                off = base + (zstart + i * ZERO_MULT) * k_lanes
+                return pltpu.make_async_copy(
+                    zbuf,
+                    grads_hbm.at[:, pl.ds(off, ZERO_MULT * k_lanes)],
+                    out_sem.at[i % 2],
                 )
-                zdma.start()
-                zdma.wait()
+
+            def zero_body(i, _):
+                @pl.when(i >= 2)
+                def _():
+                    zdma(i - 2).wait()
+                zdma(i).start()
                 return 0
 
-            jax.lax.fori_loop(zstart, num_batches, zero_body, 0)
-            dma_in((zstart - 1) % 2, zstart - 1).start()
+            jax.lax.fori_loop(0, nz, zero_body, 0)
+            for j in range(2):
+                @pl.when(nz > j)
+                def _(j=j):
+                    zdma(jnp.maximum(nz - 1 - j, 0)).wait()
+
+            # Prime the input pipe: batches first, first-1, ...
+            for j in range(n_buf - 1):
+                @pl.when(first - j >= 0)
+                def _(j=j):
+                    dma_in((first - j) % n_buf, first - j).start()
 
         def body(carry):
             b, log_t_end, s_behind = carry
 
-            @pl.when(b > 0)
+            @pl.when(b - (n_buf - 1) >= 0)
             def _():
-                dma_in((b - 1) % 2, b - 1).start()
+                dma_in((b - (n_buf - 1)) % n_buf, b - (n_buf - 1)).start()
 
-            dma_in(b % 2, b).wait()
-            blk = buf[b % 2]  # (8, K) u32
+            dma_in(b % n_buf, b).wait()
+            blk = buf[b % n_buf]  # (8, K) u32
             dec = unpack_record_rows(blk)
 
             off = base + b * k_lanes
@@ -227,10 +256,9 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 
             # Leading-boundary merge: the batch containing `start` (b == 0,
             # processed last in this back-to-front sweep) shares its window
-            # with the previous tile's tail records, already written in an
-            # earlier grid step — read them back and preserve lanes < start.
-            # (Writes are synchronous and the grid is sequential, so the
-            # read can't race. Trailing lanes >= end write zeros into the
+            # with the previous tile's tail records, already written and
+            # DRAINED before this tile began — read them back and preserve
+            # lanes < start. (Trailing lanes >= end write zeros into the
             # NEXT tile's head; that tile runs later and overwrites them.)
             @pl.when(b == 0)
             def _():
@@ -240,13 +268,23 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
                 rd.start()
                 rd.wait()
 
+            def wdma(batch):
+                woff = base + batch * k_lanes
+                return pltpu.make_async_copy(
+                    gbuf.at[(first - batch) % 2],
+                    grads_hbm.at[:, pl.ds(woff, k_lanes)],
+                    out_sem.at[(first - batch) % 2],
+                )
+
+            # Two-slot ring: before reusing this batch's slot, retire the
+            # write issued two batches ago on it.
+            @pl.when(first - b >= 2)
+            def _():
+                wdma(b + 2).wait()
+
             keep_prev = isect_idx < start  # only possible in batch 0
-            gbuf[:, :] = jnp.where(keep_prev, mbuf[:, :], vals)
-            out_dma = pltpu.make_async_copy(
-                gbuf, grads_hbm.at[:, pl.ds(off, k_lanes)], out_sem
-            )
-            out_dma.start()
-            out_dma.wait()
+            gbuf[(first - b) % 2] = jnp.where(keep_prev, mbuf[:, :], vals)
+            wdma(b).start()
 
             return (b - 1, log_t_end - m_tot, s_behind + c_tot)
 
@@ -257,11 +295,23 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
         # Start at the last effective batch: the skipped suffix has no act
         # lanes, so the carry (log_t_end, s_behind) is unchanged across it.
         init = (
-            jnp.where(num_batches > 0, zstart - 1, -1),
+            jnp.where(num_batches > 0, first, -1),
             log_t_final,
             jnp.zeros((p, 1), jnp.float32),
         )
         jax.lax.while_loop(cond, body, init)
+
+        # Drain this tile's outstanding writes (batches 0 and 1) so the
+        # next tile's boundary read/write cannot race them.
+        for j in range(2):
+            @pl.when((num_batches > 0) & (j <= first))
+            def _(j=j):
+                woff = base + j * k_lanes
+                pltpu.make_async_copy(
+                    gbuf.at[(first - j) % 2],
+                    grads_hbm.at[:, pl.ds(woff, k_lanes)],
+                    out_sem.at[(first - j) % 2],
+                ).wait()
 
     return kernel
 
@@ -269,26 +319,30 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
-                     "interpret", "tiles_per_step"),
+                     "interpret", "tiles_per_step", "n_buf"),
 )
 def rasterize_bwd_pallas(
     packed, v_out_tiles, log_t, fidx, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
     interpret: bool = False, grads_init=None, tiles_per_step: int = 4,
+    n_buf: int = 4,
 ):
-    """Per-intersection gradients (GRAD_ROWS, MAX_ISECTS + K).
+    """Per-intersection gradients (GRAD_ROWS, MAX_ISECTS + ZERO_MULT*K).
 
     Rows: v_xy(2), v_conic(3), v_color(3), v_opac(1). Slots outside all tile
     ranges are unwritten garbage — mask by slot < num_isects before use.
+    The trailing ZERO_MULT*k_lanes lanes are slack for the wide zero-fill
+    windows (see module docstring); callers slice [:max_isects].
 
-    grads_init: optional (GRAD_ROWS, max_isects + k_lanes) initial contents
-    of the output pool. Tests pass sentinel noise here (the analog of the
-    reference's test-build uninit-noise fill, brush-kernel/src/lib.rs:134-147)
-    so a downstream masking regression reads loud garbage instead of silent
+    grads_init: optional initial contents of the output pool (full slacked
+    shape). Tests pass sentinel noise here (the analog of the reference's
+    test-build uninit-noise fill, brush-kernel/src/lib.rs:134-147) so a
+    downstream masking regression reads loud garbage instead of silent
     zeros.
     """
     assert max_isects % k_lanes == 0
     assert packed.shape[1] == max_isects + k_lanes
+    out_lanes = max_isects + ZERO_MULT * k_lanes
     g = max(1, min(tiles_per_step, num_tiles))
     steps = -(-num_tiles // g)
     tiles_pad = steps * g
@@ -300,7 +354,8 @@ def rasterize_bwd_pallas(
         v_out_tiles = jnp.pad(v_out_tiles, ((0, pad), (0, 0), (0, 0)))
         log_t = jnp.pad(log_t, ((0, pad), (0, 0)))
         fidx = jnp.pad(fidx, ((0, pad), (0, 0)), constant_values=-1)
-    kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g)
+    kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
+                              n_buf=n_buf)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((g, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
@@ -318,7 +373,7 @@ def rasterize_bwd_pallas(
         # skips this (the pool starts as whatever memory held before — the
         # design masks garbage slots downstream); tests pass sentinel noise
         # to prove that masking.
-        assert grads_init.shape == (GRAD_ROWS, max_isects + k_lanes)
+        assert grads_init.shape == (GRAD_ROWS, out_lanes)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         args.append(grads_init)
         aliases = {7: 0}  # after the 3 scalar-prefetch args
@@ -333,11 +388,12 @@ def rasterize_bwd_pallas(
         in_specs=in_specs,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((2, PACK_ROWS, k_lanes), jnp.uint32),
+            pltpu.VMEM((n_buf, PACK_ROWS, k_lanes), jnp.uint32),
+            pltpu.VMEM((2, GRAD_ROWS, k_lanes), jnp.float32),
+            pltpu.VMEM((GRAD_ROWS, ZERO_MULT * k_lanes), jnp.float32),
             pltpu.VMEM((GRAD_ROWS, k_lanes), jnp.float32),
-            pltpu.VMEM((GRAD_ROWS, k_lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -345,7 +401,7 @@ def rasterize_bwd_pallas(
         kernel_wrap,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((GRAD_ROWS, max_isects + k_lanes), jnp.float32)
+            jax.ShapeDtypeStruct((GRAD_ROWS, out_lanes), jnp.float32)
         ],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
