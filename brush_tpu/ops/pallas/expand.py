@@ -165,9 +165,8 @@ def _floor_div_lanes(a_int, b_int):
 
 
 def _make_expand_kernel(tiles_x: int, num_tiles: int,
-                        n: int, k_exp: int, window: int):
-    n_buf = 2
-
+                        n: int, k_exp: int, window: int, num_blocks: int,
+                        n_buf: int = 4):
     def kernel(s_lo_ref, total_ref, comps_hbm, splat_hbm,
                key_ref, out_ref,
                abuf, sbuf, sem,
@@ -191,19 +190,32 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
                 ),
             )
 
-        @pl.when((b == 0) & (total > 0))
+        # Prime the first n_buf-1 live blocks' windows on the first step;
+        # each live step then tops the pipe up n_buf-1 ahead — the window
+        # DMA (~150 KB) is longer than the block's compute, so double
+        # buffering alone left the loop latency-bound.
+        @pl.when(b == 0)
         def _():
-            for c in dma(0, 0):
-                c.start()
+            # Static prime indices are clamped into the grid: the slice
+            # bounds are validated at trace time even under pl.when, and
+            # the guard (j*k_exp < total <= num_blocks*k_exp) ensures a
+            # clamped copy is never consumed.
+            for j in range(n_buf - 1):
+                @pl.when(j * k_exp < total)
+                def _(j=j):
+                    for c in dma(j, min(j, num_blocks - 1)):
+                        c.start()
 
         live = slot0 < total
 
         @pl.when(live)
         def _():
-            # Prefetch the next live block's windows.
-            @pl.when(slot0 + k_exp < total)
+            # Prefetch the (b + n_buf - 1)-th block's windows if live (a
+            # live target block always exists in the grid: total <=
+            # max_isects = num_blocks * k_exp).
+            @pl.when(slot0 + (n_buf - 1) * k_exp < total)
             def _():
-                for c in dma((b + 1) % n_buf, b + 1):
+                for c in dma((b + n_buf - 1) % n_buf, b + n_buf - 1):
                     c.start()
 
             for c in dma(b % n_buf, b):
@@ -278,12 +290,13 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
     jax.jit,
     static_argnames=(
         "tiles_x", "num_tiles", "n", "max_isects", "k_exp", "interpret",
+        "n_buf",
     ),
 )
 def expand_pallas(
     comps, splat_c, s_lo, total,
     tiles_x: int, num_tiles: int, n: int, max_isects: int,
-    k_exp: int = 512, interpret: bool = False,
+    k_exp: int = 512, interpret: bool = False, n_buf: int = 4,
 ):
     """Expand depth-ordered splat rows into per-slot (key, record) arrays.
 
@@ -304,7 +317,8 @@ def expand_pallas(
     num_blocks = max_isects // k_exp
     assert s_lo.shape == (num_blocks,)
 
-    kernel = _make_expand_kernel(tiles_x, num_tiles, n, k_exp, window)
+    kernel = _make_expand_kernel(tiles_x, num_tiles, n, k_exp, window,
+                                 num_blocks, n_buf=n_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_blocks,),
@@ -319,9 +333,9 @@ def expand_pallas(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, COMP_ROWS, window), jnp.bfloat16),
-            pltpu.VMEM((2, 1, k_exp), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((n_buf, COMP_ROWS, window), jnp.bfloat16),
+            pltpu.VMEM((n_buf, 1, k_exp), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_buf, 2)),
         ],
     )
     keys, recs = pl.pallas_call(

@@ -29,7 +29,8 @@ from brush_tpu.ops.pallas.expand import WINDOW_ALIGN
 SEG_ROWS = 16  # grad rows carried (9 used; padded for lane tiling)
 
 
-def _make_segsum_kernel(k_seg: int, window: int):
+def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
+                        n_buf: int = 4):
     def kernel(s_lo_ref, total_ref, grads_hbm, splat_hbm, out_in_hbm,
                out_hbm,
                gbuf, sbuf, obuf, sem, osem):
@@ -37,24 +38,50 @@ def _make_segsum_kernel(k_seg: int, window: int):
         total = total_ref[0]
         slot0 = b * k_seg
 
+        # Input loads ride an n_buf-deep pipe; only the output
+        # read-modify-write chain stays synchronous (adjacent blocks'
+        # windows overlap, so each block's accumulate must see the
+        # previous block's write).
+        def in_dma(slot, blk):
+            return (
+                pltpu.make_async_copy(
+                    grads_hbm.at[:, pl.ds(blk * k_seg, k_seg)],
+                    gbuf.at[slot], sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    splat_hbm.at[:, pl.ds(blk * k_seg, k_seg)],
+                    sbuf.at[slot], sem.at[slot, 1],
+                ),
+            )
+
+        @pl.when(b == 0)
+        def _():
+            # Static prime indices clamped into the grid (trace-time slice
+            # validation); the guard ensures clamped copies are unused.
+            for j in range(n_buf - 1):
+                @pl.when(j * k_seg < total)
+                def _(j=j):
+                    for c in in_dma(j, min(j, num_blocks - 1)):
+                        c.start()
+
         @pl.when(slot0 < total)
         def _():
+            @pl.when(slot0 + (n_buf - 1) * k_seg < total)
+            def _():
+                for c in in_dma((b + n_buf - 1) % n_buf, b + n_buf - 1):
+                    c.start()
+
             s_al = pl.multiple_of(s_lo_ref[b], WINDOW_ALIGN)
-            gin = pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(slot0, k_seg)], gbuf, sem.at[0]
-            )
-            sin = pltpu.make_async_copy(
-                splat_hbm.at[:, pl.ds(slot0, k_seg)], sbuf, sem.at[1]
-            )
             oin = pltpu.make_async_copy(
-                out_hbm.at[:, pl.ds(s_al, window)], obuf, sem.at[2]
+                out_hbm.at[:, pl.ds(s_al, window)], obuf, sem.at[0, 2]
             )
-            gin.start(); sin.start(); oin.start()
-            gin.wait(); sin.wait()
+            oin.start()
+            for c in in_dma(b % n_buf, b):
+                c.wait()
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_seg), 1)
             live = (slot0 + lane) < total                     # (1, K)
-            local = sbuf[:, :] - s_al                         # (1, K)
+            local = sbuf[b % n_buf] - s_al                    # (1, K)
             sub = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
             oh = ((sub == local) & live).astype(jnp.bfloat16)  # (W, K), exact
 
@@ -62,7 +89,7 @@ def _make_segsum_kernel(k_seg: int, window: int):
             # bf16; the gradient rows split into three bf16 components whose
             # per-component f32-accumulated sums add to the same result as a
             # direct f32 reduction (up to reassociation).
-            g = gbuf[:, :]
+            g = gbuf[b % n_buf]
             g_hi = g.astype(jnp.bfloat16)
             r1 = g - g_hi.astype(jnp.float32)
             g_mid = r1.astype(jnp.bfloat16)
@@ -90,11 +117,12 @@ def _make_segsum_kernel(k_seg: int, window: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_pad", "max_isects", "k_seg", "interpret"),
+    static_argnames=("n_pad", "max_isects", "k_seg", "interpret", "n_buf"),
 )
 def segment_sum_pallas(
     grads, splat_c, s_lo, total,
     n_pad: int, max_isects: int, k_seg: int = 512, interpret: bool = False,
+    n_buf: int = 4,
 ):
     """Sum slot-ordered gradient rows per splat.
 
@@ -110,7 +138,7 @@ def segment_sum_pallas(
     assert s_lo.shape == (num_blocks,)
     assert grads.shape == (SEG_ROWS, max_isects)
 
-    kernel = _make_segsum_kernel(k_seg, window)
+    kernel = _make_segsum_kernel(k_seg, window, num_blocks, n_buf=n_buf)
     zeros = jnp.zeros((SEG_ROWS, n_pad), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -122,10 +150,10 @@ def segment_sum_pallas(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((SEG_ROWS, k_seg), jnp.float32),
-            pltpu.VMEM((1, k_seg), jnp.int32),
+            pltpu.VMEM((n_buf, SEG_ROWS, k_seg), jnp.float32),
+            pltpu.VMEM((n_buf, 1, k_seg), jnp.int32),
             pltpu.VMEM((SEG_ROWS, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((n_buf, 3)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
