@@ -78,7 +78,19 @@ def cmd_train(args):
     else:
         print(f"point-cloud init: {int(splats.n_live)} splats")
 
-    trainer = SplatTrainer(config, raster_block_size=args.block_size)
+    if args.shard:
+        # Multi-device training over a single-axis mesh (parallel/):
+        # gaussian-sharded projection, strip-local record pipeline,
+        # tile-sharded raster, sharded refinement.
+        from brush_tpu.parallel import make_mesh
+        from brush_tpu.parallel.trainer import ShardedTrainer
+
+        mesh = make_mesh()
+        print(f"sharded training over {mesh.size} devices")
+        trainer = ShardedTrainer(
+            mesh, config, raster_block_size=args.block_size)
+    else:
+        trainer = SplatTrainer(config, raster_block_size=args.block_size)
     state = trainer.init_state(splats)
     start_step = 0
     if args.resume:
@@ -264,7 +276,19 @@ def cmd_train2d(args):
     rng = np.random.default_rng(config.seed)
     splats = from_random(rng, [-2.5, -2.5, -2.5], [2.5, 2.5, 2.5],
                          count=args.init_count, sh_degree=0)
-    trainer = SplatTrainer(config, raster_block_size=args.block_size)
+    if args.shard:
+        # Multi-device training over a single-axis mesh (parallel/):
+        # gaussian-sharded projection, strip-local record pipeline,
+        # tile-sharded raster, sharded refinement.
+        from brush_tpu.parallel import make_mesh
+        from brush_tpu.parallel.trainer import ShardedTrainer
+
+        mesh = make_mesh()
+        print(f"sharded training over {mesh.size} devices")
+        trainer = ShardedTrainer(
+            mesh, config, raster_block_size=args.block_size)
+    else:
+        trainer = SplatTrainer(config, raster_block_size=args.block_size)
     state = trainer.init_state(splats)
     batch = SceneBatch(gt_image=target, camera=cam, scene_extent=1.0)
 
@@ -322,6 +346,9 @@ def main(argv=None):
     t.add_argument("--refine-every", type=int, default=100)
     t.add_argument("--faithful-reference-refine", action="store_true",
                    help="replicate the reference's refine quirks exactly")
+    t.add_argument("--shard", action="store_true",
+                   help="shard training over all visible devices "
+                        "(gaussian+tile sharding, sharded refinement)")
     t.add_argument("--eval-every", type=int, default=0)
     t.add_argument("--eval-views", type=int, default=4)
     t.add_argument("--log-every", type=int, default=10)
