@@ -183,12 +183,13 @@ class TrainWorker(threading.Thread):
             evals = eval_stats(state.splats, views, block_size=self.block_size)
             psnr = float(np.mean([e.psnr for e in evals]))
             # PSNR history feeds the stats panel's plot (stats.rs:120-160).
+            ssim = float(np.mean([e.ssim for e in evals]))
             hist = self.get_stats().get("eval_history", []) + [
-                [trainer.iter, round(psnr, 3)]
+                [trainer.iter, round(psnr, 3), round(ssim, 4)]
             ]
             self.put_stats(
                 eval_psnr=psnr,
-                eval_ssim=float(np.mean([e.ssim for e in evals])),
+                eval_ssim=ssim,
                 eval_history=hist[-200:],
             )
         elif cmd == "export":

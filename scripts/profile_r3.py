@@ -226,6 +226,87 @@ def run_variants():
         report(name, dt)
 
 
+def run_strip():
+    """Single-chip evidence for the strip-local pipeline: per-device work
+    must scale with the strip's record share (VERDICT r2 item 2). Runs the
+    full-frame forward and one strip's forward (1/8 of the tile rows,
+    strip-restricted masks, strip-sized pool) and reports the ratio; the
+    `through sort` ablation bounds the common (unsharded) depth-sort term.
+    """
+    import math
+
+    from brush_tpu.ops.binning import restrict_masks_parts
+    from brush_tpu.ops.pallas import raster_vjp
+    from brush_tpu.render import pack_decode_parts
+
+    cp, args = build_inputs()
+    w, h = IMG
+    tiles_x, tiles_y = -(-w // TILE_WIDTH), -(-h // TILE_WIDTH)
+    n_dev = 8
+    strip_rows = tiles_y // n_dev
+    tiles_per = strip_rows * tiles_x
+    k_align = math.lcm(512, 512)
+    pool_strip = -(-int(MAX_ISECTS * 2 / n_dev) // k_align) * k_align
+
+    def strip_fwd(r0_tile_row):
+        def fn(means, log_scales, quats, sh_coeffs, raw_op):
+            quats_n = quats / jnp.linalg.norm(
+                quats, axis=-1, keepdims=True).clip(1e-12)
+            proj = project_splats(means, log_scales, quats_n, cp.viewmat,
+                                  cp.focal, cp.pixel_center, IMG)
+            cam_pos = cp.viewmat[:3, 3]
+            vd = means - cam_pos
+            vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True).clip(1e-12)
+            color = sh_to_color(1, vd, sh_coeffs)
+            opac = jax.nn.sigmoid(raw_op)
+            masks = precompute_tile_masks(proj, opac)
+            producing = proj.visible & (masks.counts > 0)
+            counts_g = jnp.where(producing, masks.counts, 0)
+            bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0],
+                              1, 1023)
+            bbox_h = jnp.maximum(proj.tile_max[:, 1] - proj.tile_min[:, 1],
+                                 1)
+            counts_d, m_lo_d, m_hi_d, tmin_y_d = restrict_masks_parts(
+                proj.tile_min[:, 1], bbox_w, bbox_h, masks.small,
+                masks.mask_lo, masks.mask_hi, counts_g,
+                jnp.int32(r0_tile_row), jnp.int32(r0_tile_row + strip_rows))
+            decode = pack_decode_parts(
+                proj.tile_min[:, 0], tmin_y_d, bbox_w, counts_d,
+                masks.small.astype(jnp.uint32), m_lo_d, m_hi_d)
+            depth_bits = jax.lax.bitcast_convert_type(
+                jnp.maximum(proj.depth, 1e-20), jnp.uint32)
+            depth_key = jnp.where(counts_d > 0, depth_bits,
+                                  jnp.uint32(0xFFFFFFFF))
+            attrs9 = jnp.stack(
+                [proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0],
+                 proj.conic[:, 1], proj.conic[:, 2], color[:, 0],
+                 color[:, 1], color[:, 2], opac], axis=0)
+            raster = raster_vjp.make_pallas_pipeline(
+                tiles_x, tiles_x * tiles_y, pool_strip, N,
+                raster_tiles=tiles_per)
+            t0 = r0_tile_row * tiles_x
+            my_tiles = t0 + jnp.arange(tiles_per, dtype=jnp.int32)
+            img_tiles, order, total, raw = raster(
+                attrs9, decode, depth_key, my_tiles)
+            return img_tiles, total, raw
+        return fn
+
+    dt_full = median_time(make_staged(cp, "raster"), args)
+    report("full-frame fwd", dt_full)
+    dt_sort = median_time(make_staged(cp, "sort"), args)
+    report("through depth sort (common term)", dt_sort)
+    for r0 in (0, tiles_y // 2 - strip_rows // 2):
+        fn = jax.jit(strip_fwd(r0))
+        out = fn(*args)
+        total = int(out[1])
+        dt = median_time(fn, args)
+        share = total / 2162688
+        report(f"strip rows {r0}..{r0 + strip_rows} "
+               f"({share * 100:.0f}% of records)", dt)
+        print(f"    projected {n_dev}-dev speedup vs full "
+              f"= {dt_full / dt:.2f}x (per-device critical path = this strip)")
+
+
 def run_bwd():
     cp, args = build_inputs()
 
@@ -243,4 +324,5 @@ def run_bwd():
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "stages"
-    {"stages": run_stages, "variants": run_variants, "bwd": run_bwd}[mode]()
+    {"stages": run_stages, "variants": run_variants, "bwd": run_bwd,
+     "strip": run_strip}[mode]()

@@ -107,8 +107,8 @@ def test_eval_history_and_presets(server):
         if hist:
             break
         time.sleep(0.1)
-    assert hist and len(hist[0]) == 2  # [iter, psnr] pairs for the plot
-    assert np.isfinite(hist[0][1])
+    assert hist and len(hist[0]) == 3  # [iter, psnr, ssim] rows for the plots
+    assert np.isfinite(hist[0][1]) and 0.0 <= hist[0][2] <= 1.0
 
     presets = json.loads(_get("/api/presets"))
     assert isinstance(presets["presets"], list)
