@@ -97,3 +97,60 @@ def test_pallas_fwd_empty_tiles():
     )
     np.testing.assert_allclose(np.asarray(img), 0.0)
     np.testing.assert_allclose(np.asarray(fidx), -1)
+
+
+def test_record_quantization_roundtrip():
+    """The packed u16 color/opacity quantizers must round-trip within half a
+    step over their documented ranges, clamp outside them, and decode
+    exactly through the XLA-side unpack helpers."""
+    from brush_tpu.ops.pallas.rasterize_fwd import (
+        COLOR_HI,
+        COLOR_LO,
+        decode_color,
+        decode_opac,
+        pack_record_rows,
+        quantize_color,
+        quantize_opac,
+        unpack_record_rows,
+    )
+
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.uniform(COLOR_LO, COLOR_HI, 4096), jnp.float32)
+    o = jnp.asarray(rng.uniform(0, 1, 4096), jnp.float32)
+    # 0.51 steps, not 0.50: f32 rounding in the quantize product can nudge
+    # a borderline value across the round boundary by ~1e-3 steps.
+    step_c = (COLOR_HI - COLOR_LO) / 65535.0
+    np.testing.assert_allclose(np.asarray(decode_color(quantize_color(c))),
+                               np.asarray(c), atol=step_c * 0.51 + 1e-6)
+    np.testing.assert_allclose(np.asarray(decode_opac(quantize_opac(o))),
+                               np.asarray(o), atol=0.5 / 65535.0 + 1e-7)
+    # Clamping: out-of-range values saturate instead of wrapping.
+    assert float(decode_color(quantize_color(jnp.float32(99.0)))) == COLOR_HI
+    assert float(decode_color(quantize_color(jnp.float32(-99.0)))) == COLOR_LO
+    assert float(decode_opac(quantize_opac(jnp.float32(2.0)))) == 1.0
+
+    # pack -> unpack reproduces xy/conic bit-exactly and color to one step.
+    n = 512
+    xy0 = jnp.asarray(rng.normal(size=n) * 100, jnp.float32)
+    xy1 = jnp.asarray(rng.normal(size=n) * 100, jnp.float32)
+    cxx = jnp.asarray(rng.uniform(0.01, 3, n), jnp.float32)
+    cxy = jnp.asarray(rng.normal(size=n), jnp.float32)
+    cyy = jnp.asarray(rng.uniform(0.01, 3, n), jnp.float32)
+    cols = [jnp.asarray(rng.uniform(-2, 2, n), jnp.float32) for _ in range(3)]
+    opac = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    rows = pack_record_rows(
+        xy0, xy1, cxx, cxy, cyy,
+        quantize_color(cols[0]), quantize_color(cols[1]),
+        quantize_color(cols[2]), quantize_opac(opac),
+        jnp.arange(n, dtype=jnp.uint32),
+    )
+    blk = jnp.stack(rows, axis=0).reshape(8, n)
+    dec = unpack_record_rows(blk)
+    np.testing.assert_array_equal(np.asarray(dec[0][0]), np.asarray(xy0))
+    np.testing.assert_array_equal(np.asarray(dec[2][0]), np.asarray(cxx))
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(dec[5 + i][0]),
+                                   np.asarray(cols[i]), atol=step_c * 0.51 + 1e-6)
+    np.testing.assert_allclose(np.asarray(dec[8][0]), np.asarray(opac),
+                               atol=0.51 / 65535.0 + 1e-6)
+    assert int(blk[7][-1]) == n - 1  # splat id rides row 7 untouched
