@@ -279,12 +279,16 @@ def make_pallas_pipeline(
             interpret=interpret,
         )  # (16, n_pad), compact order
 
-        # --- compact -> global: invert the depth permutation with one
-        # small key sort + a single row gather ---
-        _, inv = jax.lax.sort_key_val(
-            order, jnp.arange(n, dtype=jnp.int32)
+        # --- compact -> global: ONE sort keyed on the depth permutation
+        # carrying the 9 cotangent rows. Sorting by `order` (a permutation)
+        # IS the inverse permutation applied to the payloads — round 2 paid
+        # a separate inversion key-sort plus an N-scale row gather
+        # (~20 ns/index) for the same result. ---
+        gops2 = jax.lax.sort(
+            (order,) + tuple(per_splat[i, :n] for i in range(9)),
+            num_keys=1,
         )
-        acc = per_splat[:9, :n][:, inv]
+        acc = jnp.stack(gops2[1:10], axis=0)
         return (acc, None, None, None)
 
     raster.defvjp(raster_fwd, raster_bwd)
