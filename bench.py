@@ -75,11 +75,11 @@ def main():
         fov_x=np.pi / 2, fov_y=np.pi / 2,
     )
 
-    def args_at(density):
+    def args_at(density, mean_mult=1.0):
         n = int(n_splats * density)
         return jax.device_put((
-            splats.means[:n], splats.log_scales[:n], splats.quats[:n],
-            splats.sh_coeffs[:n], splats.raw_opacity[:n],
+            splats.means[:n] * mean_mult, splats.log_scales[:n],
+            splats.quats[:n], splats.sh_coeffs[:n], splats.raw_opacity[:n],
         ))
 
     # Pool sized like the adaptive trainer would size it for this scene at
@@ -155,6 +155,15 @@ def main():
             a = args_at(d)
             dt = _median_time(make_fwd(img_size, d), a, sync_img)
             matrix[f"{img_size[0]}_d{d}"] = round(dt * 1e3, 2)
+    if full:
+        # The reference's "dense" group: means * 0.25 packs the same splats
+        # into a smaller volume (render_bench.rs DENSE_MULT) — more overlap
+        # per tile, bigger pools. Pool sized 4x the base config's records.
+        for d in (0.1, 0.5, 1.0):
+            a = args_at(d, mean_mult=0.25)
+            dt = _median_time(make_fwd((lo_res, lo_res), min(4 * d, 1.0)),
+                              a, sync_img)
+            matrix[f"{lo_res}_dense_d{d}"] = round(dt * 1e3, 2)
     # fwd+bwd at the 512 corner (the reference's bwd group).
     p512 = {k: v for k, v in params.items()}
     st = [p512, init_adam(p512)]
