@@ -141,7 +141,12 @@ def cmd_train(args):
                 )
 
             if args.eval_every and ds.eval and step > 0 and step % args.eval_every == 0:
-                views = [(v.camera, v.image) for v in ds.eval.views[: args.eval_views]]
+                # 0 = the full held-out set (the default): in-training
+                # numbers are then directly comparable to the final
+                # harvest. A positive value evaluates a fixed prefix
+                # subset (faster; subset choice is deterministic).
+                k = args.eval_views if args.eval_views > 0 else None
+                views = [(v.camera, v.image) for v in ds.eval.views[:k]]
                 evals = eval_stats(state.splats, views, block_size=args.block_size,
                                    keep_images=viz is not None and viz.active)
                 psnr = float(np.mean([e.psnr for e in evals]))
@@ -350,7 +355,8 @@ def main(argv=None):
                    help="shard training over all visible devices "
                         "(gaussian+tile sharding, sharded refinement)")
     t.add_argument("--eval-every", type=int, default=0)
-    t.add_argument("--eval-views", type=int, default=4)
+    t.add_argument("--eval-views", type=int, default=0,
+                   help="views per in-training eval (0 = all)")
     t.add_argument("--log-every", type=int, default=10)
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--checkpoint-every", type=int, default=5000)
