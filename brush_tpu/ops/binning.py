@@ -230,7 +230,9 @@ def restrict_masks_to_strip(proj: Projection, masks: TileMasks,
       needs no extra state.
 
     row_lo/row_hi are traced scalars (they differ per device under
-    shard_map). Returns (counts_d, mask_lo_d, mask_hi_d, tmin_y_d).
+    shard_map). Returns (counts_d, mask_lo_d, mask_hi_d, tmin_y_d,
+    bbox_h_d) — bbox_h_d is the clipped bbox row count, which
+    render.pack_decode_parts stashes in the mask-lo row for bbox splats.
     """
     ty0 = proj.tile_min[:, 1].astype(jnp.int32)
     bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
@@ -264,7 +266,7 @@ def restrict_masks_parts(ty0, bbox_w, bbox_h, small, mask_lo, mask_hi,
     m_lo = jnp.where(producing, m_lo, 0)
     m_hi = jnp.where(producing, m_hi, 0)
     tmin_y_d = jnp.where(small, ty0, ty0 + lo_r)
-    return counts_d, m_lo, m_hi, tmin_y_d
+    return counts_d, m_lo, m_hi, tmin_y_d, hi_r - lo_r
 
 
 def _select_bit(mask_lo, mask_hi, pc_pack, rank):

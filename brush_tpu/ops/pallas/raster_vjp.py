@@ -10,8 +10,10 @@ splats):
      per-splat attribute as payload (payloads dominate sort cost at
      ~2.1 ms/pool-scale array; per-attribute gathers cost ~20ns per
      index). Color+opacity are quantized to u16 halves and packed two-to-
-     a-row BEFORE this sort (rasterize_fwd.quantize_*), so the payload is
-     12 rows (5 f32 xy/conic + 2 packed colop + 4 packed decode + order)
+     a-row BEFORE this sort (rasterize_fwd.quantize_*), and the per-splat
+     record count is recomputed AFTER it (SWAR popcount / bbox area from
+     the decode fields, render.pack_decode_rows), so the payload is
+     11 rows (5 f32 xy/conic + 2 packed colop + 3 packed decode + order)
      instead of round 2's 15;
   2. expand_pallas: one-hot MXU expansion of the depth-ordered rows into
      per-intersection PACKED u32 records + tile sort keys
@@ -76,11 +78,44 @@ from brush_tpu.ops.pallas.segsum import SEG_ROWS, segment_sum_pallas
 DEBUG_GRAD_POOL_FILL: float | None = None
 
 
+def _popcount_u32(v):
+    """SWAR popcount on uint32 lanes (the classic bit-parallel reduction).
+
+    `lax.population_count` measured ~10 ms/M-element on the chip; this is a
+    dozen fused VPU ops. The u32 multiply wraps, which is exactly what the
+    byte-accumulate trick wants (the count lands in the top byte).
+    """
+    c55 = jnp.uint32(0x55555555)
+    c33 = jnp.uint32(0x33333333)
+    c0f = jnp.uint32(0x0F0F0F0F)
+    v = v - ((v >> 1) & c55)
+    v = (v & c33) + ((v >> 2) & c33)
+    v = (v + (v >> 4)) & c0f
+    return (v * jnp.uint32(0x01010101)) >> 24
+
+
+def _pack_bf16_pair(a, b):
+    """Two f32 rows -> one u32 row of bf16 halves (a in the high 16 bits)."""
+    bf = lambda v: jax.lax.bitcast_convert_type(
+        v.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return (bf(a) << 16) | bf(b)
+
+
+def _unpack_bf16_pair(u):
+    """Inverse of _pack_bf16_pair: u32 row -> two f32 rows."""
+    f = lambda h: jax.lax.bitcast_convert_type(
+        h.astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return f(u >> 16), f(u & jnp.uint32(0xFFFF))
+
+
 @functools.lru_cache(maxsize=32)
 def make_pallas_pipeline(
     tiles_x: int, num_tiles: int, max_isects: int, n: int,
     k_lanes: int = 512, k_exp: int = 512, raster_tiles: int | None = None,
     interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
+    scan_passes: int = 3, pack_grad_sort: bool = False,
 ):
     """Full record pipeline as one custom-VJP function.
 
@@ -88,7 +123,7 @@ def make_pallas_pipeline(
     (img_tiles, order, total, raw_total) where
       attrs9: (9, n) f32, GLOBAL order — x, y, cxx, cxy, cyy, r, g, b,
         opac (differentiable);
-      decode: (4, n) uint32, global order — packed per-splat decode state
+      decode: (3, n) uint32, global order — packed per-splat decode state
         (render.pack_decode_rows layout; stop-gradient);
       depth_key: (n,) uint32 — bitcast depth, 0xFFFFFFFF for non-producing;
       tile_ids: (raster_tiles,) i32 tile id per grid step — an ASCENDING
@@ -106,10 +141,10 @@ def make_pallas_pipeline(
     static pool (observability; VERDICT r1 weak #6).
     """
     raster_tiles = num_tiles if raster_tiles is None else raster_tiles
-    # Packed decode rows carry 11-bit tile coords and a 10-bit bbox width
-    # (render.pack_decode_rows); bbox_w <= tiles_x must fit 10 bits and
-    # tile_min y must fit its 11-bit field or the packed coordinate would
-    # silently wrap and corrupt decode state.
+    # Packed decode rows carry a 10-bit tile x, an 11-bit tile y and a
+    # 10-bit bbox width (render.pack_decode_rows); tmin_x/bbox_w <= tiles_x
+    # must fit 10 bits and tile_min y must fit its 11-bit field or the
+    # packed coordinate would silently wrap and corrupt decode state.
     assert tiles_x <= 1023, "image too wide for packed decode rows"
     assert num_tiles <= tiles_x * 2047, "image too tall for packed decode rows"
     assert max_isects <= 1 << 24, "slot offsets ride the expand matmul as u24"
@@ -132,20 +167,31 @@ def make_pallas_pipeline(
                   | (quantize_opac(attrs9[8]) << 16))
 
         # --- depth sort, everything as payload (DepthSort) ---
-        # decode is 4 packed u32 rows (see render.pack_decode_rows): the
-        # sort moves 13 arrays, and the unpack below is a few elementwise
-        # shifts.
+        # decode is 3 packed u32 rows (see render.pack_decode_rows): the
+        # sort moves 12 arrays; counts are RECOMPUTED from the sorted
+        # fields below (a dozen fused VPU ops per splat is far cheaper
+        # than carrying one more pool-scale payload row).
         ops = jax.lax.sort(
             (depth_key,
              attrs9[0], attrs9[1], attrs9[2], attrs9[3], attrs9[4],
              colop0, colop1,
-             decode[0], decode[1], decode[2], decode[3],
+             decode[0], decode[1], decode[2],
              jnp.arange(n, dtype=jnp.int32)),
             num_keys=1, is_stable=True,
         )
-        order = ops[12]
-        d0, d1, m_lo, m_hi = ops[8], ops[9], ops[10], ops[11]
-        counts_c = (d1 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        order = ops[11]
+        d0, m_lo, m_hi = ops[8], ops[9], ops[10]
+        small_c = (d0 >> 10) & jnp.uint32(1)
+        bbox_w_c = d0 >> 22
+        # Small splats: SWAR popcount of the mask halves. Bbox splats: m_lo
+        # holds the clipped bbox height (the stash in pack_decode_parts).
+        # Both rows are zeroed for non-producing splats, so counts vanish
+        # exactly where the depth key is the sentinel.
+        counts_c = jnp.where(
+            small_c == 1,
+            (_popcount_u32(m_lo) + _popcount_u32(m_hi)).astype(jnp.uint32),
+            bbox_w_c * m_lo,
+        ).astype(jnp.int32)
         cum = jnp.cumsum(counts_c)
         offsets = cum - counts_c
         raw_total = cum[-1].astype(jnp.int32)
@@ -153,10 +199,10 @@ def make_pallas_pipeline(
 
         # bf16-component stack for the expand kernel's one-hot matmul:
         # bws packs small (bit 10) above the 10-bit bbox width.
-        bws = (d0 >> 22) | ((d1 >> 31) << 10)
+        bws = bbox_w_c | (small_c << 10)
         comps = build_comp_rows(
             ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
-            d0 & jnp.uint32(0x7FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
+            d0 & jnp.uint32(0x3FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
             m_lo, m_hi, offsets, n_pad,
         )
 
@@ -213,6 +259,7 @@ def make_pallas_pipeline(
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
             tiles_per_step=tiles_per_step, n_buf=n_buf,
+            scan_passes=scan_passes,
         )
         res = (packed, starts, ends, tile_ids, log_t, fidx,
                splat_c, s_lo, total, order)
@@ -247,6 +294,7 @@ def make_pallas_pipeline(
             packed, g_img, log_t, fidx, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret, grads_init=grads_init,
+            scan_passes=scan_passes,
         )  # (16, max_isects + k_lanes), tile order
         # The pool is strip-local (every valid record belongs to this
         # strip), so no strip masking is needed: slots past `total` carry
@@ -256,16 +304,38 @@ def make_pallas_pipeline(
         # row 7). Compact ids are assigned in depth order, so the sorted id
         # sequence equals splat_c and the windowed segment-sum applies
         # directly; invalid records carry id n and sort past `total`. ---
-        gops = jax.lax.sort(
-            (packed[PACK_ROWS - 1, :max_isects],)
-            + tuple(grads[i, :max_isects] for i in range(9)),
-            num_keys=1,
-        )
+        if pack_grad_sort:
+            # Payload-byte lever (sorts cost ~2 ms per pool-scale array):
+            # ride the conic and color cotangents as bf16 pairs — 6 payload
+            # rows instead of 9. v_xy stays exact f32 (densification
+            # thresholds accumulate xy-grad norms) and so does v_opac; the
+            # bf16 rounding (2^-9 relative per record) lands only on
+            # conic/color grads, which the per-splat sum averages out.
+            p2 = _pack_bf16_pair(grads[2, :max_isects], grads[3, :max_isects])
+            p3 = _pack_bf16_pair(grads[4, :max_isects], grads[5, :max_isects])
+            p4 = _pack_bf16_pair(grads[6, :max_isects], grads[7, :max_isects])
+            gops = jax.lax.sort(
+                (packed[PACK_ROWS - 1, :max_isects],
+                 grads[0, :max_isects], grads[1, :max_isects],
+                 p2, p3, p4, grads[8, :max_isects]),
+                num_keys=1,
+            )
+            r2, r3 = _unpack_bf16_pair(gops[3])
+            r4, r5 = _unpack_bf16_pair(gops[4])
+            r6, r7 = _unpack_bf16_pair(gops[5])
+            sorted_rows = (gops[1], gops[2], r2, r3, r4, r5, r6, r7, gops[6])
+        else:
+            gops = jax.lax.sort(
+                (packed[PACK_ROWS - 1, :max_isects],)
+                + tuple(grads[i, :max_isects] for i in range(9)),
+                num_keys=1,
+            )
+            sorted_rows = gops[1:10]
         live = jax.lax.broadcasted_iota(
             jnp.int32, (1, max_isects), 1
         ) < total[0]
         grads_slot = jnp.where(
-            live, jnp.stack(gops[1:10], axis=0), 0.0
+            live, jnp.stack(sorted_rows, axis=0), 0.0
         )
         grads_slot = jnp.concatenate(
             [grads_slot,

@@ -51,7 +51,8 @@ ZERO_MULT = 4   # batches zero-filled per DMA from the wide zero scratch
 
 
 def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
-                     tiles_per_step: int = 1, n_buf: int = 4):
+                     tiles_per_step: int = 1, n_buf: int = 4,
+                     scan_passes: int = 3):
     def kernel(starts_ref, ends_ref, tile_ids_ref,
                packed_hbm, vout_ref, logt_ref, fidx_ref,
                grads_hbm,
@@ -181,7 +182,7 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
             act = (isect_idx <= fidx) & (alpha > 0.0)
             actf = jnp.where(act, 1.0, 0.0)
             m = jnp.log1p(-alpha) * actf
-            m_inc = _cumsum_lanes_mxu(m, k_lanes)
+            m_inc = _cumsum_lanes_mxu(m, k_lanes, passes=scan_passes)
             m_tot = m_inc[:, k_lanes - 1 : k_lanes]
             log_t_after = log_t_end - (m_tot - m_inc)
             t_before = jnp.exp(log_t_after - m)
@@ -194,7 +195,7 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
                 + v_rgb[:, 2:3] * dec[7]
             )
             contrib = cw * fac
-            c_inc = _cumsum_lanes_mxu(contrib, k_lanes)
+            c_inc = _cumsum_lanes_mxu(contrib, k_lanes, passes=scan_passes)
             c_tot = c_inc[:, k_lanes - 1 : k_lanes]
             buffer_excl = s_behind + (c_tot - c_inc)
 
@@ -319,13 +320,13 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
-                     "interpret", "tiles_per_step", "n_buf"),
+                     "interpret", "tiles_per_step", "n_buf", "scan_passes"),
 )
 def rasterize_bwd_pallas(
     packed, v_out_tiles, log_t, fidx, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
     interpret: bool = False, grads_init=None, tiles_per_step: int = 4,
-    n_buf: int = 4,
+    n_buf: int = 4, scan_passes: int = 3,
 ):
     """Per-intersection gradients (GRAD_ROWS, MAX_ISECTS + ZERO_MULT*K).
 
@@ -355,7 +356,7 @@ def rasterize_bwd_pallas(
         log_t = jnp.pad(log_t, ((0, pad), (0, 0)))
         fidx = jnp.pad(fidx, ((0, pad), (0, 0)), constant_values=-1)
     kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
-                              n_buf=n_buf)
+                              n_buf=n_buf, scan_passes=scan_passes)
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((g, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),

@@ -146,7 +146,7 @@ def _cumsum_lanes(x, k_lanes: int):
 SCAN_BLOCK = 128  # matches the MXU tile width
 
 
-def _cumsum_lanes_mxu(x, k_lanes: int):
+def _cumsum_lanes_mxu(x, k_lanes: int, passes: int = 3):
     """Inclusive prefix sum along lanes via block-triangular MXU matmuls.
 
     The log-step roll scan costs ~3*log2(K) VPU ops per element — it
@@ -157,10 +157,12 @@ def _cumsum_lanes_mxu(x, k_lanes: int):
     on a unit with ~50x the throughput and, critically, off the VPU's
     critical path.
 
-    Exactness: U's entries are 0/1 (exact in bf16); x is split into three
-    bf16 components summing exactly to the f32 value (8+8+8 >= 24 mantissa
-    bits), so each product is exact and only the f32 accumulation order
-    differs from a VPU scan — the same class of rounding the roll scan has.
+    Exactness: U's entries are 0/1 (exact in bf16); x is split into
+    `passes` bf16 components summing back to the f32 value (8 mantissa bits
+    each; 3 passes reconstruct all 24, 2 passes 16), so each product is
+    exact and only the f32 accumulation order (plus, at passes=2, a
+    <= 2^-16 relative input truncation — all log1p terms share a sign, so
+    no cancellation amplifies it) differs from a VPU scan.
     """
     if k_lanes % SCAN_BLOCK:
         return _cumsum_lanes(x, k_lanes)
@@ -170,13 +172,15 @@ def _cumsum_lanes_mxu(x, k_lanes: int):
     u = (row <= col).astype(jnp.bfloat16)
 
     def block_scan(xb):
-        hi = xb.astype(jnp.bfloat16)
-        r1 = xb - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        y = jnp.dot(hi, u, preferred_element_type=jnp.float32)
-        y = y + jnp.dot(mid, u, preferred_element_type=jnp.float32)
-        y = y + jnp.dot(lo, u, preferred_element_type=jnp.float32)
+        rem = xb
+        comps = []
+        for _ in range(passes):
+            c = rem.astype(jnp.bfloat16)
+            rem = rem - c.astype(jnp.float32)
+            comps.append(c)
+        y = jnp.dot(comps[0], u, preferred_element_type=jnp.float32)
+        for c in comps[1:]:
+            y = y + jnp.dot(c, u, preferred_element_type=jnp.float32)
         return y
 
     parts = []
@@ -238,7 +242,8 @@ def _splat_basis(dec, center_x, center_y):
 
 
 def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
-                 tiles_per_step: int = 1, n_buf: int = 2):
+                 tiles_per_step: int = 1, n_buf: int = 2,
+                 scan_passes: int = 3):
 
     def kernel(starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                img_ref, logt_ref, fidx_ref,
@@ -311,7 +316,7 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
             alpha = jnp.where(ok, alpha, 0.0)
 
             lom = jnp.log1p(-alpha)
-            csum = _cumsum_lanes_mxu(lom, k_lanes)
+            csum = _cumsum_lanes_mxu(lom, k_lanes, passes=scan_passes)
             log_t_after = log_t + csum
             # The early-out is STICKY (reference: rasterize.wgsl:87-90 sets
             # `done` and breaks without compositing the crossing splat). A
@@ -380,12 +385,13 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
-                     "interpret", "tiles_per_step", "n_buf"),
+                     "interpret", "tiles_per_step", "n_buf", "scan_passes"),
 )
 def rasterize_fwd_pallas(
     packed, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
     interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
+    scan_passes: int = 3,
 ):
     """Forward rasterize. Returns (img (T,P,4), log_t (T,P), final_idx (T,P)).
 
@@ -409,7 +415,7 @@ def rasterize_fwd_pallas(
         ends = jnp.pad(ends, (0, pad))
         tile_ids = jnp.pad(tile_ids, (0, pad))
     kernel = _make_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
-                          n_buf=n_buf)
+                          n_buf=n_buf, scan_passes=scan_passes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),

@@ -195,12 +195,13 @@ def make_sharded_train_step(
         small_f = meta[2] >> 31
 
         r0 = d * strip_rows
-        counts_d, m_lo_d, m_hi_d, tmin_y_d = restrict_masks_parts(
+        counts_d, m_lo_d, m_hi_d, tmin_y_d, bbox_h_d = restrict_masks_parts(
             tmin_y, bbox_w, bbox_h, small_f.astype(bool),
             meta[3], meta[4], counts_f, r0, r0 + strip_rows,
         )
         decode_d = pack_decode_parts(
-            tmin_x, tmin_y_d, bbox_w, counts_d, small_f, m_lo_d, m_hi_d
+            tmin_x, tmin_y_d, bbox_w, bbox_h_d, counts_d, small_f,
+            m_lo_d, m_hi_d,
         )
         depth_key = jnp.where(counts_d > 0, meta[5], jnp.uint32(0xFFFFFFFF))
 

@@ -71,34 +71,48 @@ def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
 
 
 def pack_decode_rows(proj, masks, counts_g) -> jnp.ndarray:
-    """Pack the per-splat decode state into 4 uint32 rows.
+    """Pack the per-splat decode state into 3 uint32 rows.
 
     The depth sort carries every per-splat quantity as a sort payload (a
     gather after the sort would cost ~20ns per index); packing the
-    small-integer decode quantities into 4 u32 rows cuts the sorted bytes.
+    small-integer decode quantities into 3 u32 rows cuts the sorted bytes.
     Byte popcounts (round 2's pc_pack row) are derived in-kernel by the
-    expand kernel's SWAR select, so they no longer ride the sort at all.
-    Layout (unpacked in raster_vjp._fwd_impl):
+    expand kernel's SWAR select, and the per-splat record count (round 3's
+    d1 row) is recomputed AFTER the sort from the other fields — small
+    splats by a SWAR popcount of the mask halves, bbox splats as
+    bbox_w * bbox_h — so neither rides the sort. Layout (unpacked in
+    raster_vjp._fwd_impl):
 
-      row 0: tmin_x (11b) | tmin_y << 11 (11b) | bbox_w << 22 (10b)
-      row 1: counts (31b) | small << 31
-      row 2: mask_lo   row 3: mask_hi
+      row 0: tmin_x (10b) | small << 10 | tmin_y << 11 (11b) | bbox_w << 22
+      row 1: mask_lo for small splats; clipped bbox_h for bbox splats
+             (their 64-bit mask is meaningless and never read)
+      row 2: mask_hi
+
+    Rows 1-2 are zeroed for non-producing splats so the recomputed counts
+    vanish exactly where the depth key is the sentinel.
     """
     bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
+    bbox_h = jnp.maximum(proj.tile_max[:, 1] - proj.tile_min[:, 1], 1)
     return pack_decode_parts(
-        proj.tile_min[:, 0], proj.tile_min[:, 1], bbox_w, counts_g,
+        proj.tile_min[:, 0], proj.tile_min[:, 1], bbox_w, bbox_h, counts_g,
         masks.small, masks.mask_lo, masks.mask_hi,
     )
 
 
-def pack_decode_parts(tmin_x, tmin_y, bbox_w, counts, small, m_lo, m_hi):
+def pack_decode_parts(tmin_x, tmin_y, bbox_w, bbox_h, counts, small, m_lo,
+                      m_hi):
     """pack_decode_rows from explicit components (the sharded strip path
-    substitutes strip-restricted counts/masks/tmin_y — see
+    substitutes strip-restricted counts/masks/tmin_y/bbox_h — see
     ops/binning.restrict_masks_to_strip)."""
     u32 = lambda v: v.astype(jnp.uint32)
-    d0 = u32(tmin_x) | (u32(tmin_y) << 11) | (u32(bbox_w) << 22)
-    d1 = u32(counts) | (u32(small) << 31)
-    return jnp.stack([d0, d1, m_lo, m_hi], axis=0)
+    small_b = small.astype(bool)
+    prod = counts > 0
+    d0 = (u32(tmin_x) | (u32(small_b) << 10) | (u32(tmin_y) << 11)
+          | (u32(bbox_w) << 22))
+    stash = jnp.where(small_b, m_lo, u32(bbox_h))
+    d1 = jnp.where(prod, stash, jnp.uint32(0))
+    d2 = jnp.where(prod, m_hi, jnp.uint32(0))
+    return jnp.stack([d0, d1, d2], axis=0)
 
 
 def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
@@ -113,7 +127,8 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
-                   max_isects, k_lanes, interpret):
+                   max_isects, k_lanes, interpret, scan_passes=3,
+                   pack_grad_sort=False):
     """TPU record pipeline (see ops/pallas/raster_vjp.py).
 
     xy/conic/color/opac are differentiable; proj/masks are stop-gradient
@@ -142,7 +157,8 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
 
     raster = make_pallas_pipeline(
         tiles_x, num_tiles, max_isects, n, k_lanes=k_lanes,
-        interpret=interpret,
+        interpret=interpret, scan_passes=scan_passes,
+        pack_grad_sort=pack_grad_sort,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles, order, total, raw_total = raster(
@@ -166,6 +182,8 @@ def render_splats(
     max_isects: int | None = None,
     block_size: int = 32,
     backend: str = "auto",
+    scan_passes: int = 3,
+    pack_grad_sort: bool = False,
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Render (h, w, 4) RGBA. img_size is (w, h) static.
 
@@ -173,6 +191,9 @@ def render_splats(
     backend: "xla" (lockstep while_loop implementation), "pallas" (TPU
     kernels; interpret mode on CPU), or "auto" (pallas on TPU-like
     platforms, xla on CPU).
+    scan_passes / pack_grad_sort are pallas-path perf knobs (see
+    ops/pallas/rasterize_fwd._cumsum_lanes_mxu and
+    raster_vjp.make_pallas_pipeline); the defaults are exact.
     """
     n = means.shape[0]
     w, h = int(img_size[0]), int(img_size[1])
@@ -221,6 +242,7 @@ def render_splats(
             xy, proj.conic, color, opac, proj_sg, masks, tiles_x, tiles_y,
             max_isects, k_lanes,
             interpret=jax.default_backend() == "cpu",
+            scan_passes=scan_passes, pack_grad_sort=pack_grad_sort,
         )
         num_visible = jnp.sum(proj.visible).astype(jnp.int32)
         aux = RenderAux(

@@ -108,21 +108,27 @@ def make_staged(cp, stage):
         ops = jax.lax.sort(
             (depth_key, proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0],
              proj.conic[:, 1], proj.conic[:, 2], colop0, colop1,
-             decode[0], decode[1], decode[2], decode[3],
+             decode[0], decode[1], decode[2],
              jnp.arange(N, dtype=jnp.int32)),
             num_keys=1, is_stable=True)
-        d0, d1, m_lo, m_hi = ops[8], ops[9], ops[10], ops[11]
-        counts_c = (d1 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        from brush_tpu.ops.pallas.raster_vjp import _popcount_u32
+        d0, m_lo, m_hi = ops[8], ops[9], ops[10]
+        small_c = (d0 >> 10) & jnp.uint32(1)
+        bbox_w_c = d0 >> 22
+        counts_c = jnp.where(
+            small_c == 1,
+            (_popcount_u32(m_lo) + _popcount_u32(m_hi)).astype(jnp.uint32),
+            bbox_w_c * m_lo).astype(jnp.int32)
         cum = jnp.cumsum(counts_c)
         offsets = cum - counts_c
         total = jnp.minimum(cum[-1:], MAX_ISECTS).astype(jnp.int32)
         if stage == "sort":
             return ops[1], ops[6], total
 
-        bws = (d0 >> 22) | ((d1 >> 31) << 10)
+        bws = bbox_w_c | (small_c << 10)
         comps = build_comp_rows(
             ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
-            d0 & jnp.uint32(0x7FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
+            d0 & jnp.uint32(0x3FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
             m_lo, m_hi, offsets, n_pad)
         scatter_idx = jnp.where(counts_c > 0, offsets, MAX_ISECTS)
         marks = jnp.zeros((MAX_ISECTS,), jnp.int32).at[scatter_idx].add(
@@ -174,7 +180,7 @@ def run_variants():
     cp, args = build_inputs()
     from brush_tpu.ops.pallas import raster_vjp
 
-    def full(block_size, tiles_per_step, n_buf, k_exp=512):
+    def full(block_size, tiles_per_step, n_buf, k_exp=512, scan_passes=3):
         def fn(means, log_scales, quats, sh_coeffs, raw_op):
             from brush_tpu.render import (
                 _render_pallas, pack_rgba_u32)  # noqa: F401
@@ -205,7 +211,8 @@ def run_variants():
             decode = pack_decode_rows(proj, masks, counts_g)
             raster = raster_vjp.make_pallas_pipeline(
                 tiles_x, tiles_x * tiles_y, mi, N, k_lanes=k_lanes,
-                k_exp=k_exp, tiles_per_step=tiles_per_step, n_buf=n_buf)
+                k_exp=k_exp, tiles_per_step=tiles_per_step, n_buf=n_buf,
+                scan_passes=scan_passes)
             tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
             img_tiles, order, total, raw_total = raster(
                 attrs9, decode, depth_key, tile_ids)
@@ -213,16 +220,17 @@ def run_variants():
         return fn
 
     grid = [
-        ("base  k512 tps4  nbuf4", 512, 4, 4, 512),
-        ("nbuf2 (r2 buffering)", 512, 4, 2, 512),
-        ("nbuf8", 512, 4, 8, 512),
-        ("tps16", 512, 16, 4, 512),
-        ("k_lanes1024", 1024, 4, 4, 512),
-        ("k_exp1024", 512, 4, 4, 1024),
-        ("k_exp2048", 512, 4, 4, 2048),
+        ("base  k512 tps4  nbuf4", 512, 4, 4, 512, 3),
+        ("nbuf2 (r2 buffering)", 512, 4, 2, 512, 3),
+        ("nbuf8", 512, 4, 8, 512, 3),
+        ("tps16", 512, 16, 4, 512, 3),
+        ("k_lanes1024", 1024, 4, 4, 512, 3),
+        ("k_exp1024", 512, 4, 4, 1024, 3),
+        ("k_exp2048", 512, 4, 4, 2048, 3),
+        ("scan_passes2", 512, 4, 4, 512, 2),
     ]
-    for name, bs, tps, nb, ke in grid:
-        dt = median_time(full(bs, tps, nb, ke), args)
+    for name, bs, tps, nb, ke, sp in grid:
+        dt = median_time(full(bs, tps, nb, ke, sp), args)
         report(name, dt)
 
 
@@ -266,12 +274,12 @@ def run_strip():
                               1, 1023)
             bbox_h = jnp.maximum(proj.tile_max[:, 1] - proj.tile_min[:, 1],
                                  1)
-            counts_d, m_lo_d, m_hi_d, tmin_y_d = restrict_masks_parts(
+            counts_d, m_lo_d, m_hi_d, tmin_y_d, bbox_h_d = restrict_masks_parts(
                 proj.tile_min[:, 1], bbox_w, bbox_h, masks.small,
                 masks.mask_lo, masks.mask_hi, counts_g,
                 jnp.int32(r0_tile_row), jnp.int32(r0_tile_row + strip_rows))
             decode = pack_decode_parts(
-                proj.tile_min[:, 0], tmin_y_d, bbox_w, counts_d,
+                proj.tile_min[:, 0], tmin_y_d, bbox_w, bbox_h_d, counts_d,
                 masks.small.astype(jnp.uint32), m_lo_d, m_hi_d)
             depth_bits = jax.lax.bitcast_convert_type(
                 jnp.maximum(proj.depth, 1e-20), jnp.uint32)
@@ -310,16 +318,25 @@ def run_strip():
 def run_bwd():
     cp, args = build_inputs()
 
-    def fwd_bwd(means, log_scales, quats, sh_coeffs, raw_op):
-        def loss(m, ls, q, sh, ro):
-            img, _ = render_splats(m, ls, q, sh, ro, cp, IMG,
-                                   block_size=512, max_isects=MAX_ISECTS)
-            return jnp.mean(jnp.abs(img[..., :3]))
-        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
-            means, log_scales, quats, sh_coeffs, raw_op)
+    def make_fwd_bwd(**kw):
+        def fwd_bwd(means, log_scales, quats, sh_coeffs, raw_op):
+            def loss(m, ls, q, sh, ro):
+                img, _ = render_splats(m, ls, q, sh, ro, cp, IMG,
+                                       block_size=512, max_isects=MAX_ISECTS,
+                                       **kw)
+                return jnp.mean(jnp.abs(img[..., :3]))
+            return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                means, log_scales, quats, sh_coeffs, raw_op)
+        return fwd_bwd
 
-    dt = median_time(fwd_bwd, args)
-    report("fwd+bwd (grads all params)", dt)
+    for name, kw in [
+        ("fwd+bwd base", {}),
+        ("fwd+bwd pack_grad_sort", {"pack_grad_sort": True}),
+        ("fwd+bwd scan_passes2", {"scan_passes": 2}),
+        ("fwd+bwd both", {"pack_grad_sort": True, "scan_passes": 2}),
+    ]:
+        dt = median_time(make_fwd_bwd(**kw), args)
+        report(name, dt)
 
 
 if __name__ == "__main__":

@@ -120,7 +120,7 @@ def test_strip_restriction_matches_bruteforce():
 
     tiles_y = 96 // 16
     for row_lo, row_hi in [(0, 2), (2, 4), (4, 6), (0, 6), (3, 3), (5, 9)]:
-        counts_d, m_lo_d, m_hi_d, tmin_y_d = jax.jit(
+        counts_d, m_lo_d, m_hi_d, tmin_y_d, _bbox_h_d = jax.jit(
             restrict_masks_to_strip)(proj, masks, counts_g,
                                      jnp.int32(row_lo), jnp.int32(row_hi))
         counts_d = np.asarray(counts_d)
@@ -157,7 +157,7 @@ def test_strip_restriction_matches_bruteforce():
     cap = int(model.capacity)
     total = np.zeros(cap, np.int64)
     for r in range(0, tiles_y, 2):
-        c, _, _, _ = jax.jit(restrict_masks_to_strip)(
+        c, _, _, _, _ = jax.jit(restrict_masks_to_strip)(
             proj, masks, counts_g, jnp.int32(r), jnp.int32(r + 2))
         total += np.asarray(c)
     np.testing.assert_array_equal(total, np.asarray(counts_g))

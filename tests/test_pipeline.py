@@ -163,3 +163,75 @@ def test_saturated_tile_no_revival_blowup():
     assert_close_quantized(grads["pallas"] / scale, grads["xla"] / scale,
                            atol=3e-4, flip_tol=0.05, max_flip_frac=5e-3,
                            err_msg="saturated-tile grads")
+
+
+def test_pipeline_perf_variants_match_baseline():
+    """scan_passes=2 and pack_grad_sort are lossy-but-bounded perf knobs:
+    the forward must stay within the quantized tolerance and the gradients
+    within the bf16 rounding envelope of the exact pipeline."""
+    from conftest import assert_close_quantized
+
+    model, cam = _scene(n=250, seed=7)
+    img_size = (64, 48)
+    cp = camera_params(cam, img_size)
+
+    def loss(**kw):
+        def f(means, log_scales, quats, sh, opac):
+            img, _ = render_splats(
+                means, log_scales, quats, sh, opac, cp, img_size,
+                active=model.active_mask(), backend="pallas",
+                block_size=128, max_isects=2048, **kw,
+            )
+            return jnp.sum(img ** 2)
+        return f
+
+    args = (model.means, model.log_scales, model.quats, model.sh_coeffs,
+            model.raw_opacity)
+    img_base, _ = _render(model, cam, img_size, "pallas", block_size=128,
+                          max_isects=2048)
+    g_base = jax.grad(loss(), argnums=(0, 1, 2, 3, 4))(*args)
+
+    # scan_passes=2: forward truncation <= 2^-16 relative on log T — far
+    # inside the quantized-image tolerance.
+    img_s2, _ = _render(model, cam, img_size, "pallas", block_size=128,
+                        max_isects=2048, scan_passes=2)
+    assert_close_quantized(img_s2, img_base, err_msg="scan_passes=2 fwd")
+
+    # pack_grad_sort: v_xy / v_opac exact, conic+color grads rounded to
+    # bf16 per record before the per-splat sum.
+    g_pk = jax.grad(loss(pack_grad_sort=True), argnums=(0, 1, 2, 3, 4))(
+        *args)
+    names = ["means", "log_scales", "quats", "sh", "opac"]
+    for name, a, b in zip(names, g_pk, g_base):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = max(np.abs(b).max(), 1e-6)
+        # bf16 relative rounding (2^-9) on per-record conic/color grads;
+        # sums of ~k records keep relative error at the same scale.
+        np.testing.assert_allclose(
+            a / scale, b / scale, atol=6e-3,
+            err_msg=f"pack_grad_sort grads: {name}",
+        )
+
+    # Both knobs together stay finite and close.
+    g_both = jax.grad(
+        loss(pack_grad_sort=True, scan_passes=2), argnums=(0,)
+    )(*args)
+    assert np.isfinite(np.asarray(g_both[0])).all()
+
+
+def test_pack_bf16_pair_roundtrip():
+    from brush_tpu.ops.pallas.raster_vjp import (
+        _pack_bf16_pair, _unpack_bf16_pair)
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.normal(size=512).astype(np.float32) * 10.0 ** rng.integers(-6, 6, size=512))
+    b = jnp.asarray(rng.normal(size=512).astype(np.float32))
+    ra, rb = _unpack_bf16_pair(_pack_bf16_pair(a, b))
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(a.astype(jnp.bfloat16).astype(jnp.float32)))
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(b.astype(jnp.bfloat16).astype(jnp.float32)))
+    # bf16-representable values round-trip exactly (incl. signs and zeros).
+    exact = jnp.asarray([0.0, -0.0, 1.5, -3.25, 65280.0, 2.0 ** -20])
+    ra, rb = _unpack_bf16_pair(_pack_bf16_pair(exact, -exact))
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(exact))
+    np.testing.assert_array_equal(np.asarray(rb), np.asarray(-exact))
