@@ -46,7 +46,16 @@ def _median_time(fn, args, sync, iters=12):
 
 
 def main():
+    import os
+
     import jax
+
+    # Smoke-test override (CI/CPU): the axon plugin ignores JAX_PLATFORMS,
+    # only an in-process config update reroutes to CPU. Unset = the real
+    # chip (driver default).
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     import jax.numpy as jnp
 
     from brush_tpu.camera import Camera
@@ -60,9 +69,13 @@ def main():
 
     # Smoke-test override (CI/CPU): BENCH_N shrinks the scene; the metric
     # name still reflects the real config only when unset.
-    import os
     n_splats = int(os.environ.get("BENCH_N", 1 << 20))
     hi_res = int(os.environ.get("BENCH_RES", 1024))
+    # Raster-cell grouping knob, e.g. BENCH_CELL=2x2 (see
+    # render_splats(cell=...)); default single-tile cells.
+    cell = tuple(
+        int(v) for v in os.environ.get("BENCH_CELL", "1x1").split("x")
+    )
     lo_res = hi_res // 2
     rng = np.random.default_rng(0)
     # Random splats in a box in front of the camera, like render_bench.rs:34.
@@ -95,7 +108,7 @@ def main():
         def forward(means, log_scales, quats, sh_coeffs, raw_opacity):
             img, aux = render_splats(
                 means, log_scales, quats, sh_coeffs, raw_opacity,
-                cp, img_size, block_size=512, max_isects=mi,
+                cp, img_size, block_size=512, max_isects=mi, cell=cell,
             )
             return img, aux.num_isects
 
@@ -112,7 +125,7 @@ def main():
                 img, _ = render_splats(
                     p["means"], p["log_scales"], p["quats"], p["sh_coeffs"],
                     p["raw_opacity"], cp, img_size, block_size=512,
-                    max_isects=mi,
+                    max_isects=mi, cell=cell,
                 )
                 return jnp.mean(jnp.abs(img[..., :3] - gt))
 
@@ -178,8 +191,11 @@ def main():
     ) * 1e3, 2)
 
     # --- stage buckets from jitted prefix ablations ---
+    # Skipped in CPU smoke mode: the ablations instantiate the real Pallas
+    # kernels (no interpret fallback) and only make sense on the chip.
     stages = {}
-    if with_stages:
+    if with_stages and os.environ.get("BENCH_PLATFORM", "") in ("", "tpu",
+                                                                "axon"):
         from scripts.profile_r3 import make_staged, MAX_ISECTS  # noqa: F401
 
         cp = camera_params(cam, (1024, 1024))  # stage ablation is fixed-config

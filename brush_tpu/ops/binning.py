@@ -73,41 +73,51 @@ def _check_edge(p1x, p1y, p2x, p2y, ex, ey, ca, cb, cc):
     return (disc >= 0.0) & hit
 
 
-def ellipse_intersects_aabb(box_x, box_y, ext, ex, ey, ca, cb, cc):
-    """Ellipse (conic level set 1) vs AABB test (helpers.wgsl:238-262)."""
+def ellipse_intersects_aabb(box_x, box_y, ext_x, ext_y, ex, ey, ca, cb, cc):
+    """Ellipse (conic level set 1) vs AABB test (helpers.wgsl:238-262).
+
+    Generalized to rectangular boxes (ext_x, ext_y half-extents) so the
+    same test covers single tiles and gw x gh tile cells.
+    """
     dx_c = ex - box_x
     dy_c = ey - box_y
-    center_inside = (jnp.abs(dx_c) <= ext) & (jnp.abs(dy_c) <= ext)
+    center_inside = (jnp.abs(dx_c) <= ext_x) & (jnp.abs(dy_c) <= ext_y)
 
     sx = jnp.sign(dx_c)
     sy = jnp.sign(dy_c)
-    nx = box_x + sx * ext
-    ny = box_y + sy * ext
+    nx = box_x + sx * ext_x
+    ny = box_y + sy * ext_y
     cpx = nx - ex
     cpy = ny - ey
     corner_inside = cpx * (ca * cpx + cb * cpy) + cpy * (cb * cpx + cc * cpy) <= 1.0
 
-    e1x = nx - sx * 2.0 * ext
-    e2y = ny - sy * 2.0 * ext
+    e1x = nx - sx * 2.0 * ext_x
+    e2y = ny - sy * 2.0 * ext_y
     edge1 = _check_edge(nx, ny, e1x, ny, ex, ey, ca, cb, cc)
     edge2 = _check_edge(nx, ny, nx, e2y, ex, ey, ca, cb, cc)
     return center_inside | corner_inside | edge1 | edge2
 
 
-def can_be_visible(tile_x, tile_y, xy, conic, opac):
-    """Does the splat's 1/255-alpha iso-ellipse touch this tile?
+def can_be_visible(tile_x, tile_y, xy, conic, opac, cell=(1, 1)):
+    """Does the splat's 1/255-alpha iso-ellipse touch this raster cell?
 
-    (helpers.wgsl:264-279). tile_x/tile_y are integer tile coords.
+    (helpers.wgsl:264-279). tile_x/tile_y are integer CELL coords; a cell
+    is cell=(gw, gh) image tiles (the default is one tile, the reference's
+    granularity). A cell is hit iff some constituent tile's box intersects
+    the ellipse — the union-box test is exact for that.
     """
+    gw, gh = cell
     sigma = jnp.log(opac * 255.0)
     scale = 1.0 / (2.0 * sigma)
     ca = conic[..., 0] * scale
     cb = conic[..., 1] * scale
     cc = conic[..., 2] * scale
-    ext = float(TILE_WIDTH) / 2.0
-    cx = tile_x.astype(jnp.float32) * TILE_WIDTH + ext
-    cy = tile_y.astype(jnp.float32) * TILE_WIDTH + ext
-    hit = ellipse_intersects_aabb(cx, cy, ext, xy[..., 0], xy[..., 1], ca, cb, cc)
+    ext_x = float(TILE_WIDTH * gw) / 2.0
+    ext_y = float(TILE_WIDTH * gh) / 2.0
+    cx = tile_x.astype(jnp.float32) * (TILE_WIDTH * gw) + ext_x
+    cy = tile_y.astype(jnp.float32) * (TILE_WIDTH * gh) + ext_y
+    hit = ellipse_intersects_aabb(cx, cy, ext_x, ext_y,
+                                  xy[..., 0], xy[..., 1], ca, cb, cc)
     return (sigma > 0.0) & hit
 
 
@@ -136,7 +146,22 @@ class TileMasks(NamedTuple):
     small: jnp.ndarray     # (N,) bool — mask is authoritative (area <= 64)
 
 
-def precompute_tile_masks(proj: Projection, opac: jnp.ndarray) -> TileMasks:
+def cell_bbox(proj: Projection, cell):
+    """Tile bbox -> raster-cell bbox (inclusive min, exclusive max, width).
+
+    A raster cell is cell=(gw, gh) image tiles; at (1, 1) this is the
+    identity on the tile bbox. Static divisors keep the div on fast paths.
+    """
+    gw, gh = cell
+    cmin_x = proj.tile_min[:, 0] // gw
+    cmin_y = proj.tile_min[:, 1] // gh
+    cmax_x = (proj.tile_max[:, 0] + (gw - 1)) // gw
+    cmax_y = (proj.tile_max[:, 1] + (gh - 1)) // gh
+    return cmin_x, cmin_y, cmax_x, cmax_y
+
+
+def precompute_tile_masks(proj: Projection, opac: jnp.ndarray,
+                          cell=(1, 1)) -> TileMasks:
     """Evaluate the exact tile test densely over each splat's bbox.
 
     The reference counts exact hits per splat with a scalar loop over its
@@ -145,9 +170,17 @@ def precompute_tile_masks(proj: Projection, opac: jnp.ndarray) -> TileMasks:
     kernel — k lives in the sublane dim so per-splat reductions never cross
     lanes, and all bit packing is done with exact power-of-two f32 sums
     (native reductions; u32 tree-sums lower poorly).
+
+    cell=(gw, gh) evaluates the test at raster-cell granularity (a cell is
+    gw x gh tiles): a splat covering several tiles of one cell emits ONE
+    record, shrinking every pool-scale stage; the rasterizer then sweeps
+    the whole cell's pixels per record. Bigger cells also put more splats
+    under the exact 64-bit-mask path (the cell bbox has ~gw*gh fewer
+    entries).
     """
-    bbox_w = (proj.tile_max[:, 0] - proj.tile_min[:, 0]).astype(jnp.int32)
-    bbox_h = (proj.tile_max[:, 1] - proj.tile_min[:, 1]).astype(jnp.int32)
+    cmin_x, cmin_y, cmax_x, cmax_y = cell_bbox(proj, cell)
+    bbox_w = (cmax_x - cmin_x).astype(jnp.int32)
+    bbox_h = (cmax_y - cmin_y).astype(jnp.int32)
     area = jnp.where(proj.visible, bbox_w * bbox_h, 0)
     small = area <= MASK_BITS
 
@@ -156,10 +189,11 @@ def precompute_tile_masks(proj: Projection, opac: jnp.ndarray) -> TileMasks:
     w_f = w_i.astype(jnp.float32)
     ky = _floor_div(k, w_f, w_i)
     kx = k - ky * w_i
-    tx = proj.tile_min[None, :, 0] + kx
-    ty = proj.tile_min[None, :, 1] + ky
+    tx = cmin_x[None, :] + kx
+    ty = cmin_y[None, :] + ky
     hit = can_be_visible(
-        tx, ty, proj.xy[None, :, :], proj.conic[None, :, :], opac[None, :]
+        tx, ty, proj.xy[None, :, :], proj.conic[None, :, :], opac[None, :],
+        cell=cell,
     )
     hit = hit & (k < area[None, :])                                 # (64, N)
     hit_f = hit.astype(jnp.float32)

@@ -115,7 +115,7 @@ def make_pallas_pipeline(
     tiles_x: int, num_tiles: int, max_isects: int, n: int,
     k_lanes: int = 512, k_exp: int = 512, raster_tiles: int | None = None,
     interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
-    scan_passes: int = 3, pack_grad_sort: bool = False,
+    scan_passes: int = 3, pack_grad_sort: bool = False, cell=(1, 1),
 ):
     """Full record pipeline as one custom-VJP function.
 
@@ -139,6 +139,14 @@ def make_pallas_pipeline(
     clamped to the pool); raw_total is the unclamped exact-hit count, so
     raw_total - total is the number of records silently dropped by the
     static pool (observability; VERDICT r1 weak #6).
+
+    cell=(gw, gh): the pipeline's whole "tile" domain becomes raster CELLS
+    of gw x gh image tiles — tiles_x/num_tiles/raster_tiles/tile_ids and
+    the decode rows are all in cell units, records are per (splat, cell),
+    and the raster kernels sweep 256*gw*gh pixels per cell. Bigger cells
+    shrink every pool-scale stage by the multi-tile-coverage factor
+    (measured 1.56x at 2x2 on the bench scene) at the cost of evaluating
+    each record over the cell's full pixel block.
     """
     raster_tiles = num_tiles if raster_tiles is None else raster_tiles
     # Packed decode rows carry a 10-bit tile x, an 11-bit tile y and a
@@ -259,7 +267,7 @@ def make_pallas_pipeline(
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret,
             tiles_per_step=tiles_per_step, n_buf=n_buf,
-            scan_passes=scan_passes,
+            scan_passes=scan_passes, cell=cell,
         )
         res = (packed, starts, ends, tile_ids, log_t, fidx,
                splat_c, s_lo, total, order)
@@ -294,7 +302,7 @@ def make_pallas_pipeline(
             packed, g_img, log_t, fidx, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret, grads_init=grads_init,
-            scan_passes=scan_passes,
+            scan_passes=scan_passes, cell=cell,
         )  # (16, max_isects + k_lanes), tile order
         # The pool is strip-local (every valid record belongs to this
         # strip), so no strip masking is needed: slots past `total` carry

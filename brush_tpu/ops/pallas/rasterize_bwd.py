@@ -52,7 +52,7 @@ ZERO_MULT = 4   # batches zero-filled per DMA from the wide zero scratch
 
 def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
                      tiles_per_step: int = 1, n_buf: int = 4,
-                     scan_passes: int = 3):
+                     scan_passes: int = 3, cell=(1, 1)):
     def kernel(starts_ref, ends_ref, tile_ids_ref,
                packed_hbm, vout_ref, logt_ref, fidx_ref,
                grads_hbm,
@@ -74,7 +74,7 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
         start = starts_ref[t]
         end = ends_ref[t]
         base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
-        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x)
+        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x, cell=cell)
         # Pixel moment basis W: (P, 8) = [1, px, py, px^2, py^2, px*py, 0, 0].
         px = a_p[:, 3:4]
         py = a_p[:, 4:5]
@@ -239,7 +239,9 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 
             # Moments of fac over [v_r, v_g, v_b] and the opacity-path term.
             w_col = jnp.concatenate(
-                [v_rgb, jnp.zeros((TILE_SIZE, 8 - 3), jnp.float32)], axis=1
+                [v_rgb,
+                 jnp.zeros((TILE_SIZE * cell[0] * cell[1], 8 - 3),
+                           jnp.float32)], axis=1
             )
             colm = jnp.dot(w_col.T, fac, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
@@ -292,7 +294,7 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
         def cond(carry):
             return carry[0] >= 0
 
-        p = TILE_SIZE
+        p = TILE_SIZE * cell[0] * cell[1]
         # Start at the last effective batch: the skipped suffix has no act
         # lanes, so the carry (log_t_end, s_behind) is unchanged across it.
         init = (
@@ -320,13 +322,14 @@ def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
-                     "interpret", "tiles_per_step", "n_buf", "scan_passes"),
+                     "interpret", "tiles_per_step", "n_buf", "scan_passes",
+                     "cell"),
 )
 def rasterize_bwd_pallas(
     packed, v_out_tiles, log_t, fidx, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
     interpret: bool = False, grads_init=None, tiles_per_step: int = 4,
-    n_buf: int = 4, scan_passes: int = 3,
+    n_buf: int = 4, scan_passes: int = 3, cell=(1, 1),
 ):
     """Per-intersection gradients (GRAD_ROWS, MAX_ISECTS + ZERO_MULT*K).
 
@@ -356,14 +359,15 @@ def rasterize_bwd_pallas(
         log_t = jnp.pad(log_t, ((0, pad), (0, 0)))
         fidx = jnp.pad(fidx, ((0, pad), (0, 0)), constant_values=-1)
     kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
-                              n_buf=n_buf, scan_passes=scan_passes)
+                              n_buf=n_buf, scan_passes=scan_passes, cell=cell)
+    p = TILE_SIZE * cell[0] * cell[1]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((g, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((g, p, 4), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((g, p, 1), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((g, p, 1), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [starts, ends, tile_ids,

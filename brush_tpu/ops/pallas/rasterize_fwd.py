@@ -194,24 +194,32 @@ def _cumsum_lanes_mxu(x, k_lanes: int, passes: int = 3):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _pixel_basis(tile_ids_ref, t, tiles_x: int):
-    """A(p): (TILE_SIZE, 8) pixel polynomial basis, in tile-local coords.
+def _pixel_basis(tile_ids_ref, t, tiles_x: int, cell=(1, 1)):
+    """A(p): (P, 8) pixel polynomial basis, in cell-local coords.
 
-    Coordinates are relative to the tile center: |px|,|py| <= 8. Keeping the
-    basis small bounds the cancellation error of the expanded quadratic form
-    (absolute pixel coords would put px^2 ~ 1e6 against sigma ~ 1 in f32).
-    The splat basis is shifted into the same frame per batch.
+    Coordinates are relative to the cell center: |px|,|py| <= 8*g. Keeping
+    the basis small bounds the cancellation error of the expanded quadratic
+    form (absolute pixel coords would put px^2 ~ 1e6 against sigma ~ 1 in
+    f32). The splat basis is shifted into the same frame per batch.
+
+    cell=(gw, gh): the grid step covers a raster cell of gw x gh tiles
+    (P = 256*gw*gh pixels); tiles_x is then the grid width IN CELLS.
     Returns (A, center_x, center_y).
     """
+    gw, gh = cell
+    cw_px = TILE_WIDTH * gw
+    ch_px = TILE_WIDTH * gh
+    p = TILE_SIZE * gw * gh
     tid = tile_ids_ref[t]
     tx = (tid % tiles_x).astype(jnp.float32)
     ty = (tid // tiles_x).astype(jnp.float32)
-    half = TILE_WIDTH / 2.0
-    cx_t = tx * TILE_WIDTH + half
-    cy_t = ty * TILE_WIDTH + half
-    k = jax.lax.broadcasted_iota(jnp.int32, (TILE_SIZE, 1), 0)
-    px = (k % TILE_WIDTH).astype(jnp.float32) + 0.5 - half
-    py = (k // TILE_WIDTH).astype(jnp.float32) + 0.5 - half
+    half_x = cw_px / 2.0
+    half_y = ch_px / 2.0
+    cx_t = tx * cw_px + half_x
+    cy_t = ty * ch_px + half_y
+    k = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (k % cw_px).astype(jnp.float32) + 0.5 - half_x
+    py = (k // cw_px).astype(jnp.float32) + 0.5 - half_y
     one = jnp.ones_like(px)
     # (P, 8): [px^2, py^2, px*py, px, py, 1, 0, 0]
     a = jnp.concatenate(
@@ -243,7 +251,7 @@ def _splat_basis(dec, center_x, center_y):
 
 def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
                  tiles_per_step: int = 1, n_buf: int = 2,
-                 scan_passes: int = 3):
+                 scan_passes: int = 3, cell=(1, 1)):
 
     def kernel(starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                img_ref, logt_ref, fidx_ref,
@@ -264,7 +272,7 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
         start = starts_ref[t]
         end = ends_ref[t]
         base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
-        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x)
+        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x, cell=cell)
 
         num_batches = jnp.where(
             end > start, pl.cdiv(end - base, k_lanes), 0
@@ -350,7 +358,7 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
             b, alive = carry[0], carry[2]
             return (b < num_batches) & (jnp.max(alive) > 0.5)
 
-        p = TILE_SIZE
+        p = TILE_SIZE * cell[0] * cell[1]
         init = (
             jnp.zeros((), jnp.int32),
             jnp.zeros((p, 1), jnp.float32),
@@ -385,13 +393,14 @@ def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
-                     "interpret", "tiles_per_step", "n_buf", "scan_passes"),
+                     "interpret", "tiles_per_step", "n_buf", "scan_passes",
+                     "cell"),
 )
 def rasterize_fwd_pallas(
     packed, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
     interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
-    scan_passes: int = 3,
+    scan_passes: int = 3, cell=(1, 1),
 ):
     """Forward rasterize. Returns (img (T,P,4), log_t (T,P), final_idx (T,P)).
 
@@ -399,6 +408,9 @@ def rasterize_fwd_pallas(
     kernel). MAX_ISECTS must be a multiple of k_lanes (pad the pool).
     tiles_per_step groups several tiles into one grid step to amortize
     per-step fixed costs.
+    cell=(gw, gh): each "tile" of the grid is a raster cell of gw x gh
+    image tiles (P = 256*gw*gh pixels); tiles_x/num_tiles/starts/ends/
+    tile_ids are then all in the CELL domain.
     """
     assert max_isects % k_lanes == 0, "intersection pool must pad to k_lanes"
     assert packed.shape == (PACK_ROWS, max_isects + k_lanes), (
@@ -414,18 +426,19 @@ def rasterize_fwd_pallas(
         starts = jnp.pad(starts, (0, pad))
         ends = jnp.pad(ends, (0, pad))
         tile_ids = jnp.pad(tile_ids, (0, pad))
+    p = TILE_SIZE * cell[0] * cell[1]
     kernel = _make_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
-                          n_buf=n_buf, scan_passes=scan_passes)
+                          n_buf=n_buf, scan_passes=scan_passes, cell=cell)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((g, TILE_SIZE, 4), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((g, p, 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((g, p, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, TILE_SIZE, 1), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((g, p, 1), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -437,9 +450,9 @@ def rasterize_fwd_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((tiles_pad, TILE_SIZE, 4), jnp.float32),
-            jax.ShapeDtypeStruct((tiles_pad, TILE_SIZE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((tiles_pad, TILE_SIZE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((tiles_pad, p, 4), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((tiles_pad, p, 1), jnp.int32),
         ],
         interpret=interpret,
     )(starts, ends, tile_ids, packed)

@@ -249,11 +249,16 @@ def make_rasterizer(tiles_x: int, num_tiles: int, max_isects: int, block_size: i
     return raster
 
 
-def assemble_image(img_tiles: jnp.ndarray, img_size, tiles_x: int, tiles_y: int):
-    """(T, TILE_SIZE, 4) -> (h, w, 4), cropping tile padding."""
+def assemble_image(img_tiles: jnp.ndarray, img_size, tiles_x: int,
+                   tiles_y: int, cell=(1, 1)):
+    """(T, P, 4) -> (h, w, 4), cropping tile padding.
+
+    cell=(gw, gh): blocks are raster cells of gw x gh tiles (P =
+    256*gw*gh); tiles_x/tiles_y are then the CELL grid dims.
+    """
     w, h = int(img_size[0]), int(img_size[1])
-    img = img_tiles.reshape(tiles_y, tiles_x, TILE_WIDTH, TILE_WIDTH, 4)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(
-        tiles_y * TILE_WIDTH, tiles_x * TILE_WIDTH, 4
-    )
+    cw = TILE_WIDTH * cell[0]
+    ch = TILE_WIDTH * cell[1]
+    img = img_tiles.reshape(tiles_y, tiles_x, ch, cw, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(tiles_y * ch, tiles_x * cw, 4)
     return img[:h, :w]

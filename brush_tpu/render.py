@@ -70,7 +70,7 @@ def default_max_isects(n: int, img_size, cap: int = 1 << 23) -> int:
     return min(max(n * 8, 64 * 1024), n * tiles, cap)
 
 
-def pack_decode_rows(proj, masks, counts_g) -> jnp.ndarray:
+def pack_decode_rows(proj, masks, counts_g, cell=(1, 1)) -> jnp.ndarray:
     """Pack the per-splat decode state into 3 uint32 rows.
 
     The depth sort carries every per-splat quantity as a sort payload (a
@@ -90,11 +90,18 @@ def pack_decode_rows(proj, masks, counts_g) -> jnp.ndarray:
 
     Rows 1-2 are zeroed for non-producing splats so the recomputed counts
     vanish exactly where the depth key is the sentinel.
+
+    cell=(gw, gh): coordinates and bbox are in raster-cell units (must
+    match the `cell` passed to precompute_tile_masks — the mask bit ranks
+    decode against this bbox).
     """
-    bbox_w = jnp.clip(proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
-    bbox_h = jnp.maximum(proj.tile_max[:, 1] - proj.tile_min[:, 1], 1)
+    from brush_tpu.ops.binning import cell_bbox
+
+    cmin_x, cmin_y, cmax_x, cmax_y = cell_bbox(proj, cell)
+    bbox_w = jnp.clip(cmax_x - cmin_x, 1, 1023)
+    bbox_h = jnp.maximum(cmax_y - cmin_y, 1)
     return pack_decode_parts(
-        proj.tile_min[:, 0], proj.tile_min[:, 1], bbox_w, bbox_h, counts_g,
+        cmin_x, cmin_y, bbox_w, bbox_h, counts_g,
         masks.small, masks.mask_lo, masks.mask_hi,
     )
 
@@ -128,12 +135,16 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
 
 def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
                    max_isects, k_lanes, interpret, scan_passes=3,
-                   pack_grad_sort=False):
+                   pack_grad_sort=False, cell=(1, 1)):
     """TPU record pipeline (see ops/pallas/raster_vjp.py).
 
     xy/conic/color/opac are differentiable; proj/masks are stop-gradient
     integer bookkeeping (depth keys, tile bboxes, coverage bitmasks). All
     sorts/expansions live inside the pipeline's custom VJP.
+
+    cell=(gw, gh): tiles_x/tiles_y must then be the CELL grid dims and
+    masks must come from precompute_tile_masks(..., cell=cell); the whole
+    pipeline runs in the cell domain (one record per splat x cell).
     """
     from brush_tpu.ops.pallas.raster_vjp import make_pallas_pipeline
 
@@ -152,13 +163,13 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
         [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
          color[:, 0], color[:, 1], color[:, 2], opac], axis=0,
     )  # (9, n), global order, differentiable
-    decode = pack_decode_rows(proj, masks, counts_g)
+    decode = pack_decode_rows(proj, masks, counts_g, cell=cell)
     decode = jax.lax.stop_gradient(decode)
 
     raster = make_pallas_pipeline(
         tiles_x, num_tiles, max_isects, n, k_lanes=k_lanes,
         interpret=interpret, scan_passes=scan_passes,
-        pack_grad_sort=pack_grad_sort,
+        pack_grad_sort=pack_grad_sort, cell=cell,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles, order, total, raw_total = raster(
@@ -184,6 +195,7 @@ def render_splats(
     backend: str = "auto",
     scan_passes: int = 3,
     pack_grad_sort: bool = False,
+    cell: tuple = (1, 1),
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Render (h, w, 4) RGBA. img_size is (w, h) static.
 
@@ -191,9 +203,12 @@ def render_splats(
     backend: "xla" (lockstep while_loop implementation), "pallas" (TPU
     kernels; interpret mode on CPU), or "auto" (pallas on TPU-like
     platforms, xla on CPU).
-    scan_passes / pack_grad_sort are pallas-path perf knobs (see
+    scan_passes / pack_grad_sort / cell are pallas-path perf knobs (see
     ops/pallas/rasterize_fwd._cumsum_lanes_mxu and
     raster_vjp.make_pallas_pipeline); the defaults are exact.
+    cell=(gw, gh) rasterizes in cells of gw x gh tiles: one record per
+    splat x cell shrinks every pool-scale stage by the multi-tile-coverage
+    factor at the cost of sweeping 256*gw*gh pixels per record.
     """
     n = means.shape[0]
     w, h = int(img_size[0]), int(img_size[1])
@@ -236,13 +251,17 @@ def render_splats(
 
     num_tiles = tiles_x * tiles_y
     if backend == "pallas":
+        cells_x = -(-tiles_x // cell[0])
+        cells_y = -(-tiles_y // cell[1])
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj)
-        masks = precompute_tile_masks(proj_sg, jax.lax.stop_gradient(opac))
+        masks = precompute_tile_masks(proj_sg, jax.lax.stop_gradient(opac),
+                                      cell=cell)
         img_tiles, order, num_isects, num_dropped, producing = _render_pallas(
-            xy, proj.conic, color, opac, proj_sg, masks, tiles_x, tiles_y,
+            xy, proj.conic, color, opac, proj_sg, masks, cells_x, cells_y,
             max_isects, k_lanes,
             interpret=jax.default_backend() == "cpu",
             scan_passes=scan_passes, pack_grad_sort=pack_grad_sort,
+            cell=cell,
         )
         num_visible = jnp.sum(proj.visible).astype(jnp.int32)
         aux = RenderAux(
@@ -253,7 +272,8 @@ def render_splats(
             order=order,
             producing=producing,
         )
-        img = assemble_image(img_tiles, img_size, tiles_x, tiles_y)
+        img = assemble_image(img_tiles, img_size, cells_x, cells_y,
+                             cell=cell)
         return img, aux
 
     # ---- XLA path (CPU correctness/fallback) ----

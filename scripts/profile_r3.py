@@ -85,6 +85,8 @@ def make_staged(cp, stage):
     k_lanes = 512
 
     def fn(means, log_scales, quats, sh_coeffs, raw_op):
+        n = means.shape[0]  # bench smoke mode passes BENCH_N-sized args
+        n_pad_l = -(-n // WINDOW_ALIGN) * WINDOW_ALIGN + window
         quats_n = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
         proj = project_splats(means, log_scales, quats_n, cp.viewmat,
                               cp.focal, cp.pixel_center, IMG)
@@ -109,7 +111,7 @@ def make_staged(cp, stage):
             (depth_key, proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0],
              proj.conic[:, 1], proj.conic[:, 2], colop0, colop1,
              decode[0], decode[1], decode[2],
-             jnp.arange(N, dtype=jnp.int32)),
+             jnp.arange(n, dtype=jnp.int32)),
             num_keys=1, is_stable=True)
         from brush_tpu.ops.pallas.raster_vjp import _popcount_u32
         d0, m_lo, m_hi = ops[8], ops[9], ops[10]
@@ -129,16 +131,16 @@ def make_staged(cp, stage):
         comps = build_comp_rows(
             ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
             d0 & jnp.uint32(0x3FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
-            m_lo, m_hi, offsets, n_pad)
+            m_lo, m_hi, offsets, n_pad_l)
         scatter_idx = jnp.where(counts_c > 0, offsets, MAX_ISECTS)
         marks = jnp.zeros((MAX_ISECTS,), jnp.int32).at[scatter_idx].add(
             1, mode="drop")
-        splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, N - 1)[None, :]
+        splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)[None, :]
         s_lo = (splat_c[0, ::K_EXP] // WINDOW_ALIGN) * WINDOW_ALIGN
-        s_lo = jnp.clip(s_lo, 0, n_pad - window)
+        s_lo = jnp.clip(s_lo, 0, n_pad_l - window)
         keys, recs = expand_pallas(
             comps, splat_c, s_lo, total, tiles_x=tiles_x,
-            num_tiles=num_tiles, n=N, max_isects=MAX_ISECTS, k_exp=K_EXP)
+            num_tiles=num_tiles, n=n, max_isects=MAX_ISECTS, k_exp=K_EXP)
         if stage == "expand":
             return keys, recs[0], total
 
@@ -180,7 +182,8 @@ def run_variants():
     cp, args = build_inputs()
     from brush_tpu.ops.pallas import raster_vjp
 
-    def full(block_size, tiles_per_step, n_buf, k_exp=512, scan_passes=3):
+    def full(block_size, tiles_per_step, n_buf, k_exp=512, scan_passes=3,
+             cell=(1, 1)):
         def fn(means, log_scales, quats, sh_coeffs, raw_op):
             from brush_tpu.render import (
                 _render_pallas, pack_rgba_u32)  # noqa: F401
@@ -198,7 +201,7 @@ def run_variants():
             vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True).clip(1e-12)
             color = sh_to_color(1, vd, sh_coeffs)
             opac = jax.nn.sigmoid(raw_op)
-            masks = precompute_tile_masks(proj, opac)
+            masks = precompute_tile_masks(proj, opac, cell=cell)
             producing = proj.visible & (masks.counts > 0)
             counts_g = jnp.where(producing, masks.counts, 0)
             depth_bits = jax.lax.bitcast_convert_type(
@@ -208,12 +211,14 @@ def run_variants():
                 [proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0],
                  proj.conic[:, 1], proj.conic[:, 2], color[:, 0],
                  color[:, 1], color[:, 2], opac], axis=0)
-            decode = pack_decode_rows(proj, masks, counts_g)
+            decode = pack_decode_rows(proj, masks, counts_g, cell=cell)
+            cells_x = -(-tiles_x // cell[0])
+            cells_y = -(-tiles_y // cell[1])
             raster = raster_vjp.make_pallas_pipeline(
-                tiles_x, tiles_x * tiles_y, mi, N, k_lanes=k_lanes,
+                cells_x, cells_x * cells_y, mi, N, k_lanes=k_lanes,
                 k_exp=k_exp, tiles_per_step=tiles_per_step, n_buf=n_buf,
-                scan_passes=scan_passes)
-            tile_ids = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+                scan_passes=scan_passes, cell=cell)
+            tile_ids = jnp.arange(cells_x * cells_y, dtype=jnp.int32)
             img_tiles, order, total, raw_total = raster(
                 attrs9, decode, depth_key, tile_ids)
             return img_tiles
@@ -228,9 +233,13 @@ def run_variants():
         ("k_exp1024", 512, 4, 4, 1024, 3),
         ("k_exp2048", 512, 4, 4, 2048, 3),
         ("scan_passes2", 512, 4, 4, 512, 2),
+        ("cell2x2", 512, 4, 4, 512, 3, (2, 2)),
+        ("cell4x2", 512, 4, 4, 512, 3, (4, 2)),
+        ("cell2x2+scan2", 512, 4, 4, 512, 2, (2, 2)),
     ]
-    for name, bs, tps, nb, ke, sp in grid:
-        dt = median_time(full(bs, tps, nb, ke, sp), args)
+    for row in grid:
+        name = row[0]
+        dt = median_time(full(*row[1:]), args)
         report(name, dt)
 
 

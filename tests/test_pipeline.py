@@ -235,3 +235,57 @@ def test_pack_bf16_pair_roundtrip():
     ra, rb = _unpack_bf16_pair(_pack_bf16_pair(exact, -exact))
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(exact))
     np.testing.assert_array_equal(np.asarray(rb), np.asarray(-exact))
+
+
+@pytest.mark.parametrize("cell", [(2, 1), (2, 2), (4, 2)])
+def test_pipeline_cell_grouping_matches_single_tile(cell):
+    """Raster-cell grouping (one record per splat x cell of gw x gh tiles)
+    must reproduce the per-tile pipeline: the compositing order and the
+    contributing record set per pixel are identical — only batch boundaries
+    and the cell-local quadratic-form frame differ (borderline alpha flips,
+    bounded like the known MXU/VPU sigma divergence)."""
+    from conftest import assert_close_quantized
+
+    model, cam = _scene(n=300, seed=5)
+    # 80x48 px -> 5x3 tiles: exercises cell grids that don't divide evenly.
+    img_size = (80, 48)
+    img_1, aux_1 = _render(model, cam, img_size, "pallas", block_size=128,
+                           max_isects=2048)
+    img_c, aux_c = _render(model, cam, img_size, "pallas", block_size=128,
+                           max_isects=2048, cell=cell)
+    # Grouping merges same-cell records; the count can only shrink.
+    assert int(aux_c.num_isects) <= int(aux_1.num_isects)
+    assert int(aux_c.num_dropped) == 0 and int(aux_1.num_dropped) == 0
+    assert_close_quantized(img_c, img_1, atol=2e-3, flip_tol=0.05,
+                           max_flip_frac=2e-3,
+                           err_msg=f"cell {cell} fwd")
+
+
+def test_pipeline_cell_grouping_grads():
+    from conftest import assert_close_quantized
+
+    model, cam = _scene(n=200, seed=6)
+    img_size = (64, 64)
+    cp = camera_params(cam, img_size)
+
+    def loss(**kw):
+        def f(means, log_scales, quats, sh, opac):
+            img, _ = render_splats(
+                means, log_scales, quats, sh, opac, cp, img_size,
+                active=model.active_mask(), backend="pallas",
+                block_size=128, max_isects=2048, **kw,
+            )
+            return jnp.sum(img ** 2)
+        return f
+
+    args = (model.means, model.log_scales, model.quats, model.sh_coeffs,
+            model.raw_opacity)
+    g_1 = jax.grad(loss(), argnums=(0, 1, 2, 3, 4))(*args)
+    g_c = jax.grad(loss(cell=(2, 2)), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_c, g_1):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        scale = max(np.abs(b).max(), 1e-6)
+        assert_close_quantized(a / scale, b / scale, atol=1e-3,
+                               flip_tol=0.1, max_flip_frac=5e-3,
+                               err_msg="cell grads")
