@@ -19,6 +19,12 @@ import time
 import numpy as np
 
 
+def _parse_cell(spec: str) -> tuple:
+    """'2x2' -> (2, 2); raster-cell grouping spec (see render_splats)."""
+    gw, gh = (int(v) for v in spec.lower().split("x"))
+    return (gw, gh)
+
+
 def _add_dataset_args(p):
     p.add_argument("--source", required=True, help="dataset zip or directory")
     p.add_argument("--max-frames", type=int, default=None)
@@ -88,9 +94,11 @@ def cmd_train(args):
         mesh = make_mesh()
         print(f"sharded training over {mesh.size} devices")
         trainer = ShardedTrainer(
-            mesh, config, raster_block_size=args.block_size)
+            mesh, config, raster_block_size=args.block_size,
+            raster_cell=_parse_cell(args.cell))
     else:
-        trainer = SplatTrainer(config, raster_block_size=args.block_size)
+        trainer = SplatTrainer(config, raster_block_size=args.block_size,
+                               raster_cell=_parse_cell(args.cell))
     state = trainer.init_state(splats)
     start_step = 0
     if args.resume:
@@ -148,7 +156,8 @@ def cmd_train(args):
                 k = args.eval_views if args.eval_views > 0 else None
                 views = [(v.camera, v.image) for v in ds.eval.views[:k]]
                 evals = eval_stats(state.splats, views, block_size=args.block_size,
-                                   keep_images=viz is not None and viz.active)
+                                   keep_images=viz is not None and viz.active,
+                                   cell=trainer.raster_cell)
                 psnr = float(np.mean([e.psnr for e in evals]))
                 ssim = float(np.mean([e.ssim for e in evals]))
                 metrics.log(step, eval_psnr=psnr, eval_ssim=ssim)
@@ -171,7 +180,8 @@ def cmd_train(args):
 
     if ds.eval:
         views = [(v.camera, v.image) for v in ds.eval.views]
-        evals = eval_stats(state.splats, views, block_size=args.block_size)
+        evals = eval_stats(state.splats, views, block_size=args.block_size,
+                           cell=trainer.raster_cell)
         print(f"final eval: PSNR {np.mean([e.psnr for e in evals]):.3f} "
               f"SSIM {np.mean([e.ssim for e in evals]):.4f}")
 
@@ -347,6 +357,9 @@ def main(argv=None):
     t.add_argument("--sh-degree", type=int, default=3)
     t.add_argument("--init-count", type=int, default=10000)
     t.add_argument("--block-size", type=int, default=512)
+    t.add_argument("--cell", default="1x1",
+                   help="raster-cell grouping GWxGH, e.g. 2x2 (pallas perf "
+                        "knob; one record per splat per cell of tiles)")
     t.add_argument("--densify-grad-thresh", type=float, default=2e-4)
     t.add_argument("--refine-every", type=int, default=100)
     t.add_argument("--faithful-reference-refine", action="store_true",

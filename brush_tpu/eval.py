@@ -27,7 +27,7 @@ def psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
 
 def eval_view(
     splats: Splats, camera, gt_image: np.ndarray, block_size: int = 32,
-    keep_image: bool = False,
+    keep_image: bool = False, cell=(1, 1),
 ) -> EvalView:
     """PSNR/SSIM of one view; MSE on RGB only (eval.rs:48-65).
 
@@ -44,7 +44,7 @@ def eval_view(
             splats.means, splats.log_scales, splats.quats,
             splats.sh_coeffs, splats.raw_opacity,
             cam, (w, h), active=splats.active_mask(), block_size=block_size,
-            max_isects=max_isects,
+            max_isects=max_isects, cell=cell,
         )
         dropped = int(aux.num_dropped)
         if dropped == 0:
@@ -69,7 +69,8 @@ def eval_view(
 
 
 def eval_stats(splats: Splats, views, block_size: int = 32,
-               keep_images: bool = False) -> list[EvalView]:
+               keep_images: bool = False, cell=(1, 1)) -> list[EvalView]:
     """Evaluate a list of (camera, gt_image) pairs (eval.rs:27-77)."""
-    return [eval_view(splats, cam, img, block_size, keep_image=keep_images)
+    return [eval_view(splats, cam, img, block_size, keep_image=keep_images,
+                      cell=cell)
             for cam, img in views]

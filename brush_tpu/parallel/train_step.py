@@ -60,12 +60,16 @@ def make_sharded_train_step(
     block_size: int = 32,
     backend: str = "auto",
     strip_pool_slack: float = 2.0,
+    cell=(1, 1),
 ):
     """Build a jitted sharded train step.
 
     Returns step(state, gt, viewmat, focal, pixel_center, lr_mean, step_idx)
     -> (state, StepStats) with all (C, ...) state arrays sharded over AXIS.
     backend: "xla" | "pallas" | "auto" (pallas on TPU platforms).
+    cell=(gw, gh): raster-cell grouping on the pallas path (see
+    render_splats); strips then shard CELL rows. The XLA fallback ignores
+    it (single-tile blocks).
     """
     n_dev = mesh.size
     if capacity % n_dev:
@@ -94,6 +98,13 @@ def make_sharded_train_step(
     if use_pipeline:
         from brush_tpu.ops.pallas.raster_vjp import make_pallas_pipeline
 
+        # Cell domain (identical to the tile domain at the default 1x1).
+        cells_x = -(-tiles_x // cell[0])
+        cells_y = -(-tiles_y // cell[1])
+        num_cells = cells_x * cells_y
+        strip_crows = -(-cells_y // n_dev)
+        cells_per = strip_crows * cells_x
+
         k_lanes = max(128, block_size)
         k_align = math.lcm(k_lanes, 512)  # pool tiles both k_lanes and k_exp
         # Strip-local pool: each device holds only its strip's records.
@@ -103,10 +114,11 @@ def make_sharded_train_step(
                          int(max_isects * strip_pool_slack / n_dev))
         pool_strip = max(-(-pool_strip // k_align) * k_align, k_align)
         raster = make_pallas_pipeline(
-            tiles_x, num_tiles, pool_strip, capacity, k_lanes=k_lanes,
-            raster_tiles=tiles_per,
+            cells_x, num_cells, pool_strip, capacity, k_lanes=k_lanes,
+            raster_tiles=cells_per,
             interpret=backend == "pallas_interpret"
             or jax.default_backend() == "cpu",
+            cell=cell,
         )
     else:
         pool_strip = max_isects
@@ -142,7 +154,8 @@ def make_sharded_train_step(
         xy_l = proj_l.xy + xy_dummy_l
 
         proj_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, proj_l)
-        masks = precompute_tile_masks(proj_sg, jax.lax.stop_gradient(opac_l))
+        masks = precompute_tile_masks(proj_sg, jax.lax.stop_gradient(opac_l),
+                                      cell=cell)
         producing_l = proj_l.visible & (masks.counts > 0)
         counts_g = jnp.where(producing_l, masks.counts, 0)
         depth_bits = jax.lax.bitcast_convert_type(
@@ -159,16 +172,16 @@ def make_sharded_train_step(
         )
         # Non-differentiable per-splat metadata, packed into 6 u32 rows for
         # one gather: [tmin_x|tmin_y<<16, bbox_w|bbox_h<<16,
-        # counts|small<<31, mask_lo, mask_hi, depth_key].
+        # counts|small<<31, mask_lo, mask_hi, depth_key]. All coordinates
+        # are in the CELL domain (== tiles at the default 1x1 cell).
+        from brush_tpu.ops.binning import cell_bbox
+
         u32 = lambda v: v.astype(jnp.uint32)
-        bbox_w_l = jnp.clip(
-            proj_sg.tile_max[:, 0] - proj_sg.tile_min[:, 0], 1, 1023
-        )
-        bbox_h_l = jnp.maximum(
-            proj_sg.tile_max[:, 1] - proj_sg.tile_min[:, 1], 1
-        )
+        cmin_x_l, cmin_y_l, cmax_x_l, cmax_y_l = cell_bbox(proj_sg, cell)
+        bbox_w_l = jnp.clip(cmax_x_l - cmin_x_l, 1, 1023)
+        bbox_h_l = jnp.maximum(cmax_y_l - cmin_y_l, 1)
         meta_l = jnp.stack(
-            [u32(proj_sg.tile_min[:, 0]) | (u32(proj_sg.tile_min[:, 1]) << 16),
+            [u32(cmin_x_l) | (u32(cmin_y_l) << 16),
              u32(bbox_w_l) | (u32(bbox_h_l) << 16),
              u32(counts_g) | (u32(masks.small) << 31),
              masks.mask_lo, masks.mask_hi, dkey_raw_l], axis=0,
@@ -194,10 +207,10 @@ def make_sharded_train_step(
         counts_f = (meta[2] & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
         small_f = meta[2] >> 31
 
-        r0 = d * strip_rows
+        r0 = d * strip_crows
         counts_d, m_lo_d, m_hi_d, tmin_y_d, bbox_h_d = restrict_masks_parts(
             tmin_y, bbox_w, bbox_h, small_f.astype(bool),
-            meta[3], meta[4], counts_f, r0, r0 + strip_rows,
+            meta[3], meta[4], counts_f, r0, r0 + strip_crows,
         )
         decode_d = pack_decode_parts(
             tmin_x, tmin_y_d, bbox_w, bbox_h_d, counts_d, small_f,
@@ -205,8 +218,8 @@ def make_sharded_train_step(
         )
         depth_key = jnp.where(counts_d > 0, meta[5], jnp.uint32(0xFFFFFFFF))
 
-        t0 = d * tiles_per
-        my_tiles = t0 + jnp.arange(tiles_per, dtype=jnp.int32)
+        t0 = d * cells_per
+        my_tiles = t0 + jnp.arange(cells_per, dtype=jnp.int32)
         img_tiles_l, _, total_l, raw_total_l = raster(
             attrs9, decode_d, depth_key, my_tiles
         )
@@ -215,10 +228,10 @@ def make_sharded_train_step(
             jnp.maximum(raw_total_l - pool_strip, 0).astype(jnp.int32), AXIS
         )
 
-        # Re-shard: tile-parallel -> full image for the loss.
+        # Re-shard: cell-parallel -> full image for the loss.
         img_tiles_f = gather0(img_tiles_l)
         img = assemble_image(
-            img_tiles_f[:num_tiles], img_size, tiles_x, tiles_y
+            img_tiles_f[:num_cells], img_size, cells_x, cells_y, cell=cell
         )
         num_visible = jax.lax.psum(
             jnp.sum(proj_l.visible).astype(jnp.int32), AXIS

@@ -45,8 +45,9 @@ class ShardedTrainer(SplatTrainer):
 
     def __init__(self, mesh, config: TrainConfig | None = None,
                  raster_block_size: int = 128, backend: str = "auto",
-                 strip_pool_slack: float = 2.0):
-        super().__init__(config, raster_block_size=raster_block_size)
+                 strip_pool_slack: float = 2.0, raster_cell=(1, 1)):
+        super().__init__(config, raster_block_size=raster_block_size,
+                         raster_cell=raster_cell)
         self.mesh = mesh
         self.backend = backend
         self.strip_pool_slack = strip_pool_slack
@@ -63,6 +64,7 @@ class ShardedTrainer(SplatTrainer):
             self.mesh, self.config, capacity, img_size, channels, sh_count,
             max_isects=max_isects, block_size=self.raster_block_size,
             backend=self.backend, strip_pool_slack=self.strip_pool_slack,
+            cell=self.raster_cell,
         )
 
         def fn(state, gt, cam, lr_mean, it):

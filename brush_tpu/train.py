@@ -102,10 +102,14 @@ class SplatTrainer:
     reference's train_loop (brush-viewer/src/train_loop.rs:102-172).
     """
 
-    def __init__(self, config: TrainConfig | None = None, raster_block_size: int = 32):
+    def __init__(self, config: TrainConfig | None = None,
+                 raster_block_size: int = 32, raster_cell=(1, 1)):
         self.config = config or TrainConfig()
         self.iter = 0
         self.raster_block_size = raster_block_size
+        # Raster-cell grouping (render_splats cell=): pallas-path perf
+        # knob, single-tile default; ignored by the XLA backend.
+        self.raster_cell = tuple(raster_cell)
         # Adaptive intersection-pool size: sorting the pool dominates step
         # time if it is oversized, so start modest and grow on pressure
         # (checked at refine boundaries, where a host sync happens anyway).
@@ -232,6 +236,7 @@ class SplatTrainer:
                 params["sh_coeffs"], params["raw_opacity"],
                 cam, img_size, xy_dummy=xy_dummy, active=active,
                 block_size=block, max_isects=max_isects,
+                cell=self.raster_cell,
             )
             pred = img if channels == 4 else img[..., :3]
             l1 = jnp.mean(jnp.abs(pred - gt))

@@ -235,3 +235,51 @@ def test_sharded_trainer_with_refinement_matches_single_device():
         diff = np.abs(a - b)
         assert np.quantile(diff, 0.95) < 1e-4, f"param {key} bulk drift"
         assert diff.max() < 0.02, f"param {key} tail drift"
+
+
+def test_sharded_pallas_cell_grouping_matches_single_device():
+    """Strip sharding composed with raster-cell grouping (cell=(2,2)):
+    strips shard CELL rows, the meta rows carry cell-unit bboxes, and the
+    per-device pipeline emits one record per splat x cell — the step must
+    still reproduce the single-device trainer."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(4)
+    splats = from_random(rng, [-2, -2, -2], [2, 2, 2], count=64, sh_degree=1)
+    config = TrainConfig(warmup_steps=0)
+    # 5x3 tiles -> 3x2 cells at 2x2 on 8 devices: cells_per = 3, strips
+    # run past num_cells and the cell grid doesn't divide the tile grid.
+    img_size = (80, 48)
+    gt = rng.uniform(0, 1, size=(48, 80, 3)).astype(np.float32)
+    cam = Camera(position=[0, 0, -6], rotation=[1, 0, 0, 0], fov_x=1.0,
+                 fov_y=1.0)
+    cp = camera_params(cam, img_size)
+
+    trainer = SplatTrainer(config, raster_block_size=16)
+    state_1 = trainer.init_state(splats)
+    batch = SceneBatch(gt_image=gt, camera=cam, scene_extent=1.0)
+    state_1, stats_1 = trainer.step(state_1, batch)
+
+    step_fn = make_sharded_train_step(
+        mesh, config, splats.capacity, img_size, 3, splats.sh_coeffs.shape[1],
+        block_size=128, backend="pallas_interpret", cell=(2, 2),
+    )
+    trainer2 = SplatTrainer(config)
+    state_8 = shard_state(trainer2.init_state(splats), mesh)
+    state_8, stats_8 = step_fn(
+        state_8, jnp.asarray(gt), cp.viewmat, cp.focal, cp.pixel_center,
+        jnp.float32(config.lr_mean_at(0)), jnp.int32(0),
+    )
+
+    assert abs(float(stats_1.loss) - float(stats_8.loss)) < 1e-4
+    assert int(stats_1.num_visible) == int(stats_8.num_visible)
+    # Cell grouping merges same-cell records: count can only shrink.
+    assert int(stats_8.num_isects) <= int(stats_1.num_isects)
+    assert int(stats_8.num_dropped) == 0
+    np.testing.assert_allclose(
+        np.asarray(state_1.grad_2d_accum), np.asarray(state_8.grad_2d_accum),
+        atol=5e-4,
+    )
+    for key in state_1.splats.params():
+        a = np.asarray(getattr(state_1.splats, key))
+        b = np.asarray(getattr(state_8.splats, key))
+        np.testing.assert_allclose(a, b, atol=1e-3, err_msg=f"param {key}")
