@@ -230,6 +230,22 @@ def precompute_tile_masks(proj: Projection, opac: jnp.ndarray,
     )
 
 
+def popcount_u32(v):
+    """SWAR popcount on uint32 lanes (the classic bit-parallel reduction).
+
+    `lax.population_count` measured ~10 ms/M-element on the chip; this is a
+    dozen fused VPU ops. The u32 multiply wraps, which is exactly what the
+    byte-accumulate trick wants (the count lands in the top byte).
+    """
+    c55 = jnp.uint32(0x55555555)
+    c33 = jnp.uint32(0x33333333)
+    c0f = jnp.uint32(0x0F0F0F0F)
+    v = v - ((v >> 1) & c55)
+    v = (v & c33) + ((v >> 2) & c33)
+    v = (v + (v >> 4)) & c0f
+    return (v * jnp.uint32(0x01010101)) >> 24
+
+
 def _ones_below64(x):
     """(lo, hi) u32 halves of a 64-bit mask with bits [0, x) set.
 
@@ -290,8 +306,7 @@ def restrict_masks_parts(ty0, bbox_w, bbox_h, small, mask_lo, mask_hi,
     keep_hi = b_hi & ~a_hi
     m_lo = mask_lo & keep_lo
     m_hi = mask_hi & keep_hi
-    cnt_small = (jax.lax.population_count(m_lo)
-                 + jax.lax.population_count(m_hi)).astype(jnp.int32)
+    cnt_small = (popcount_u32(m_lo) + popcount_u32(m_hi)).astype(jnp.int32)
     cnt_bbox = (hi_r - lo_r) * bbox_w
 
     producing = counts_g > 0

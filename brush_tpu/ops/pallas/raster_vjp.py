@@ -78,20 +78,7 @@ from brush_tpu.ops.pallas.segsum import SEG_ROWS, segment_sum_pallas
 DEBUG_GRAD_POOL_FILL: float | None = None
 
 
-def _popcount_u32(v):
-    """SWAR popcount on uint32 lanes (the classic bit-parallel reduction).
-
-    `lax.population_count` measured ~10 ms/M-element on the chip; this is a
-    dozen fused VPU ops. The u32 multiply wraps, which is exactly what the
-    byte-accumulate trick wants (the count lands in the top byte).
-    """
-    c55 = jnp.uint32(0x55555555)
-    c33 = jnp.uint32(0x33333333)
-    c0f = jnp.uint32(0x0F0F0F0F)
-    v = v - ((v >> 1) & c55)
-    v = (v & c33) + ((v >> 2) & c33)
-    v = (v + (v >> 4)) & c0f
-    return (v * jnp.uint32(0x01010101)) >> 24
+from brush_tpu.ops.binning import popcount_u32 as _popcount_u32
 
 
 def _pack_bf16_pair(a, b):
