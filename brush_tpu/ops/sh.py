@@ -2,10 +2,12 @@
 
 Vectorized re-expression of the Sloan-method cascade used by the reference
 (reference: project_visible.wgsl:51-147 forward; gather_grads.wgsl:17-112
-hand-written VJP). Here the basis is computed as an (N, K) matrix and
-contracted against coefficients with einsum so XLA maps it onto the
-MXU; the VJP falls out of JAX autodiff (the reference hand-wrote it only
-because Burn cannot differentiate WGSL).
+hand-written VJP). The basis is computed as an (N, K) matrix and
+contracted against the coefficients by a statically-unrolled elementwise
+sum (a "nk,nkc->nc" einsum is a tiny-batched dot, the shape the TPU
+lowers catastrophically — docs/PERFORMANCE.md's measured-cost table); the
+VJP falls out of JAX autodiff (the reference hand-wrote it only because
+Burn cannot differentiate WGSL).
 """
 
 from __future__ import annotations
@@ -84,5 +86,12 @@ def sh_to_color(degree: int, dirs: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndar
     """
     k = sh_coeffs_for_degree(degree)
     basis = sh_basis(degree, dirs)
-    color = jnp.einsum("nk,nkc->nc", basis, coeffs[:, :k, :])
+    # Statically-unrolled contraction instead of einsum: "nk,nkc->nc" is a
+    # batched (1,k)x(k,3) dot — the tiny-batched-matmul shape the TPU
+    # lowers catastrophically (measured 220 ms for batched 3x3 at 1M
+    # splats vs ~10 ms elementwise). k <= 25 fused multiply-adds on the
+    # VPU instead.
+    color = basis[:, 0:1] * coeffs[:, 0, :]
+    for i in range(1, k):
+        color = color + basis[:, i:i + 1] * coeffs[:, i, :]
     return color + 0.5

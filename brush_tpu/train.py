@@ -90,8 +90,10 @@ def quat_rotate(quats: jnp.ndarray, vecs: jnp.ndarray) -> jnp.ndarray:
     """
     from brush_tpu.ops.projection import quat_to_rotmat
 
+    # Elementwise batched matvec (einsum "nij,nj->ni" is a tiny-batched
+    # dot, the slow-lowering shape per docs/PERFORMANCE.md).
     rot = quat_to_rotmat(quats)
-    return jnp.einsum("nij,nj->ni", rot, vecs)
+    return jnp.sum(rot * vecs[:, None, :], axis=-1)
 
 
 class SplatTrainer:
