@@ -342,6 +342,7 @@ def cmd_view(args):
         init_count=args.init_count, block_size=args.block_size,
         max_resolution=args.max_resolution,
         eval_split_every=args.eval_split_every,
+        cell=_parse_cell(args.cell),
     )
 
 
@@ -402,6 +403,8 @@ def main(argv=None):
     v.add_argument("--sh-degree", type=int, default=3)
     v.add_argument("--init-count", type=int, default=10000)
     v.add_argument("--block-size", type=int, default=512)
+    v.add_argument("--cell", default="1x1",
+                   help="raster-cell grouping GWxGH (pallas perf knob)")
     v.add_argument("--max-resolution", type=int, default=None)
     v.add_argument("--eval-split-every", type=int, default=None)
     v.set_defaults(fn=cmd_view)

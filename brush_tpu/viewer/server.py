@@ -49,10 +49,11 @@ class RenderService:
     per image size.
     """
 
-    def __init__(self, block_size: int = 256):
+    def __init__(self, block_size: int = 256, cell=(1, 1)):
         self._splats = None
         self._lock = threading.Lock()
         self.block_size = block_size
+        self.cell = tuple(cell)
 
     def publish(self, splats):
         with self._lock:
@@ -75,6 +76,7 @@ class RenderService:
         img, _ = render_splats(
             s.means, s.log_scales, s.quats, s.sh_coeffs, s.raw_opacity,
             cp, img_size, active=s.active_mask(), block_size=self.block_size,
+            cell=self.cell,
         )
         # The reference's display path: RGBA8 packed into u32 words.
         packed = np.asarray(pack_rgba_u32(img))
@@ -121,7 +123,8 @@ class TrainWorker(threading.Thread):
         from brush_tpu.datasets.loader import SceneLoader
         from brush_tpu.train import SplatTrainer
 
-        trainer = SplatTrainer(self.config, raster_block_size=self.block_size)
+        trainer = SplatTrainer(self.config, raster_block_size=self.block_size,
+                               raster_cell=self.render.cell)
         state = trainer.init_state(self._splats0)
         self.render.publish(state.splats)
         loader = SceneLoader(self.dataset.train, seed=self.config.seed)
@@ -180,7 +183,8 @@ class TrainWorker(threading.Thread):
 
             scene = self.dataset.eval or self.dataset.train
             views = [(v.camera, v.image) for v in scene.views[:8]]
-            evals = eval_stats(state.splats, views, block_size=self.block_size)
+            evals = eval_stats(state.splats, views, block_size=self.block_size,
+                               cell=self.render.cell)
             psnr = float(np.mean([e.psnr for e in evals]))
             # PSNR history feeds the stats panel's plot (stats.rs:120-160).
             ssim = float(np.mean([e.ssim for e in evals]))
@@ -383,14 +387,15 @@ class ViewerServer:
 
 def run_viewer(source=None, ply=None, train=True, port=8642,
                config=None, sh_degree=3, init_count=10000,
-               block_size=256, max_resolution=None, eval_split_every=None):
+               block_size=256, max_resolution=None, eval_split_every=None,
+               cell=(1, 1)):
     """Start the viewer: view a .ply, or load a dataset and train live."""
     from brush_tpu.config import TrainConfig
     from brush_tpu.datasets import load_dataset, load_initial_splats
     from brush_tpu.datasets.loading import LoadDatasetArgs
     from brush_tpu.splats import from_random
 
-    render = RenderService(block_size=block_size)
+    render = RenderService(block_size=block_size, cell=cell)
 
     def session_factory(src):
         """(dataset, unstarted worker) for a dataset source path."""
