@@ -75,7 +75,10 @@ def build_inputs():
 def make_staged(cp, stage):
     """Forward pipeline cut off after `stage` (mirrors raster_vjp._fwd_impl).
 
-    stage: proj | sort | expand | tilesort | bins | raster
+    stage: proj | sortonly | sort | expand | tilesort | bins | raster
+    ("sortonly" cuts before the count/cumsum/scatter slot map, isolating
+    the raw 12-array depth sort from the slot-map bookkeeping — the
+    roofline table's open question on the N-index scatter-add cost.)
     """
     w, h = IMG
     tiles_x, tiles_y = -(-w // TILE_WIDTH), -(-h // TILE_WIDTH)
@@ -113,6 +116,8 @@ def make_staged(cp, stage):
              decode[0], decode[1], decode[2],
              jnp.arange(n, dtype=jnp.int32)),
             num_keys=1, is_stable=True)
+        if stage == "sortonly":
+            return ops[0], ops[1], ops[6]
         from brush_tpu.ops.pallas.raster_vjp import _popcount_u32
         d0, m_lo, m_hi = ops[8], ops[9], ops[10]
         small_c = (d0 >> 10) & jnp.uint32(1)
@@ -171,7 +176,8 @@ def make_staged(cp, stage):
 def run_stages():
     cp, args = build_inputs()
     prev = None
-    for stage in ["proj", "sort", "expand", "tilesort", "bins", "raster"]:
+    for stage in ["proj", "sortonly", "sort", "expand", "tilesort", "bins",
+                  "raster"]:
         dt = median_time(make_staged(cp, stage), args)
         report(f"through {stage}", dt, prev)
         prev = dt
