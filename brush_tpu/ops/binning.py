@@ -54,48 +54,61 @@ from brush_tpu.ops.projection import Projection
 MASK_BITS = 64  # bbox tiles covered by the exact-pretest bitmask
 
 
-def _check_edge(p1x, p1y, p2x, p2y, ex, ey, ca, cb, cc):
-    """Segment vs unit-level-set-of-conic intersection (helpers.wgsl:220-236)."""
-    dx = p2x - p1x
-    dy = p2y - p1y
-    fx = p1x - ex
-    fy = p1y - ey
-    # dot(v * conic, w) with conic = [[ca, cb], [cb, cc]]
-    a = dx * (ca * dx + cb * dy) + dy * (cb * dx + cc * dy)
-    b = 2.0 * (fx * (ca * dx + cb * dy) + fy * (cb * dx + cc * dy))
-    c = fx * (ca * fx + cb * fy) + fy * (cb * fx + cc * fy) - 1.0
-    disc = b * b - 4.0 * a * c
-    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
-    denom = 2.0 * a
-    t1 = (-b - sqrt_disc) / denom
-    t2 = (-b + sqrt_disc) / denom
-    hit = ((t1 >= 0.0) & (t1 <= 1.0)) | ((t2 >= 0.0) & (t2 <= 1.0))
-    return (disc >= 0.0) & hit
+def _edge_hits(a, half_b, c):
+    """Axis-aligned segment vs conic-INTERIOR hit, sqrt- and division-free.
+
+    The segment is t in [0, 1] along one box edge; f(t) = a t^2 + 2 half_b t
+    + c is the conic quadratic with a > 0 (positive-definite conic) and
+    f <= 0 inside the ellipse. The segment touches the interior iff f <= 0
+    somewhere on [0, 1]:
+      - f(0) <= 0 (start corner inside), or
+      - f(1) <= 0 (end corner inside), or
+      - the vertex lies in [0, 1] and f there <= 0:
+        t* = -half_b / a in [0, 1]  <=>  0 <= -half_b <= a, and
+        min f = c - half_b^2/a <= 0  <=>  half_b^2 >= a c.
+    This replaces the reference's root formula (helpers.wgsl:220-236) —
+    two sqrts + four divisions per edge per (bbox slot, splat) in the
+    dense (64, N) pretest — with sign tests on the same polynomial; the
+    accepted set is identical in real arithmetic (boundary-grazing f32
+    flips are the usual measure-zero class the golden tolerances cover).
+    """
+    return (
+        (c <= 0.0)
+        | (a + 2.0 * half_b + c <= 0.0)
+        | ((half_b * half_b >= a * c) & (half_b <= 0.0) & (-half_b <= a))
+    )
 
 
 def ellipse_intersects_aabb(box_x, box_y, ext_x, ext_y, ex, ey, ca, cb, cc):
     """Ellipse (conic level set 1) vs AABB test (helpers.wgsl:238-262).
 
     Generalized to rectangular boxes (ext_x, ext_y half-extents) so the
-    same test covers single tiles and gw x gh tile cells.
+    same test covers single tiles and gw x gh tile cells. Decisions match
+    the reference's center/corner/edge formulation exactly (see
+    _edge_hits); the reference's explicit nearest-corner-inside clause is
+    _edge_hits' f(0) <= 0 term, and each edge's far corner is covered by
+    the f(1) <= 0 term of that edge.
     """
     dx_c = ex - box_x
     dy_c = ey - box_y
     center_inside = (jnp.abs(dx_c) <= ext_x) & (jnp.abs(dy_c) <= ext_y)
 
+    # Nearest corner to the ellipse center, and the conic's value/gradient
+    # there (shared by both edge quadratics: f_edge(t) = Q(cp + t d) - 1
+    # with d axis-aligned, so half_b = d . (gx, gy) and a = d^T C d).
     sx = jnp.sign(dx_c)
     sy = jnp.sign(dy_c)
-    nx = box_x + sx * ext_x
-    ny = box_y + sy * ext_y
-    cpx = nx - ex
-    cpy = ny - ey
-    corner_inside = cpx * (ca * cpx + cb * cpy) + cpy * (cb * cpx + cc * cpy) <= 1.0
+    cpx = box_x + sx * ext_x - ex
+    cpy = box_y + sy * ext_y - ey
+    gx = ca * cpx + cb * cpy
+    gy = cb * cpx + cc * cpy
+    c = cpx * gx + cpy * gy - 1.0
 
-    e1x = nx - sx * 2.0 * ext_x
-    e2y = ny - sy * 2.0 * ext_y
-    edge1 = _check_edge(nx, ny, e1x, ny, ex, ey, ca, cb, cc)
-    edge2 = _check_edge(nx, ny, nx, e2y, ex, ey, ca, cb, cc)
-    return center_inside | corner_inside | edge1 | edge2
+    dx1 = -sx * (2.0 * ext_x)       # horizontal edge: nearest -> far corner
+    dy2 = -sy * (2.0 * ext_y)       # vertical edge
+    edge1 = _edge_hits(ca * (4.0 * ext_x * ext_x), dx1 * gx, c)
+    edge2 = _edge_hits(cc * (4.0 * ext_y * ext_y), dy2 * gy, c)
+    return center_inside | edge1 | edge2
 
 
 def can_be_visible(tile_x, tile_y, xy, conic, opac, cell=(1, 1)):

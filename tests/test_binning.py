@@ -161,3 +161,106 @@ def test_strip_restriction_matches_bruteforce():
             proj, masks, counts_g, jnp.int32(r), jnp.int32(r + 2))
         total += np.asarray(c)
     np.testing.assert_array_equal(total, np.asarray(counts_g))
+
+
+def _ellipse_aabb_root_formula(box_x, box_y, ext_x, ext_y, ex, ey,
+                               ca, cb, cc):
+    """The reference's original formulation (helpers.wgsl:220-262): explicit
+    nearest-corner test plus per-edge root-interval tests via sqrt and
+    division. Kept here (in the caller's dtype) as the oracle for the
+    sqrt/div-free sign-test rewrite in ops/binning.ellipse_intersects_aabb."""
+
+    def check_edge(p1x, p1y, p2x, p2y):
+        dx = p2x - p1x
+        dy = p2y - p1y
+        fx = p1x - ex
+        fy = p1y - ey
+        a = dx * (ca * dx + cb * dy) + dy * (cb * dx + cc * dy)
+        b = 2.0 * (fx * (ca * dx + cb * dy) + fy * (cb * dx + cc * dy))
+        c = fx * (ca * fx + cb * fy) + fy * (cb * fx + cc * fy) - 1.0
+        disc = b * b - 4.0 * a * c
+        sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+        denom = 2.0 * a
+        t1 = (-b - sqrt_disc) / denom
+        t2 = (-b + sqrt_disc) / denom
+        hit = ((t1 >= 0.0) & (t1 <= 1.0)) | ((t2 >= 0.0) & (t2 <= 1.0))
+        return (disc >= 0.0) & hit
+
+    dx_c = ex - box_x
+    dy_c = ey - box_y
+    center_inside = (np.abs(dx_c) <= ext_x) & (np.abs(dy_c) <= ext_y)
+    sx = np.sign(dx_c)
+    sy = np.sign(dy_c)
+    nx = box_x + sx * ext_x
+    ny = box_y + sy * ext_y
+    cpx = nx - ex
+    cpy = ny - ey
+    corner_inside = (cpx * (ca * cpx + cb * cpy)
+                     + cpy * (cb * cpx + cc * cpy)) <= 1.0
+    edge1 = check_edge(nx, ny, nx - sx * 2.0 * ext_x, ny)
+    edge2 = check_edge(nx, ny, nx, ny - sy * 2.0 * ext_y)
+    return center_inside | corner_inside | edge1 | edge2
+
+
+def test_ellipse_aabb_sign_test_matches_root_formula():
+    """The sqrt/div-free edge test accepts exactly the root formula's set.
+
+    Proven in real arithmetic (see _edge_hits docstring); here checked in
+    float64 over random positive-definite conics and boxes, where a
+    disagreement would require a sample landing within f64 rounding of a
+    decision boundary — with continuous random inputs that is a genuine
+    bug, not bad luck. A second f32-vs-f64 check bounds the rewrite's own
+    rounding flips to the usual borderline class.
+    """
+    import jax
+
+    from brush_tpu.ops.binning import ellipse_intersects_aabb
+
+    rng = np.random.default_rng(7)
+    m = 200_000
+    # Random SPD conics spanning tiny-round to huge-elongated, centers from
+    # deep inside the box to far outside, tile boxes and 2x1-cell boxes.
+    l11 = np.exp(rng.uniform(-6, 2, m))
+    l21 = rng.normal(0, 1, m) * np.exp(rng.uniform(-4, 2, m))
+    l22 = np.exp(rng.uniform(-6, 2, m))
+    ca = l11 * l11
+    cb = l11 * l21
+    cc = l21 * l21 + l22 * l22
+    ext_x = np.where(rng.random(m) < 0.5, 8.0, 16.0)
+    ext_y = np.full(m, 8.0)
+    box_x = np.zeros(m)
+    box_y = np.zeros(m)
+    ex = rng.normal(0, 1, m) * np.exp(rng.uniform(0, 5, m))
+    ey = rng.normal(0, 1, m) * np.exp(rng.uniform(0, 5, m))
+
+    want = _ellipse_aabb_root_formula(box_x, box_y, ext_x, ext_y, ex, ey,
+                                      ca, cb, cc)
+
+    # f64 equivalence: numpy replica of the sign-test formulation (JAX runs
+    # f32 under the suite's config, so the f64 check lives here; keep in
+    # sync with ops/binning._edge_hits / ellipse_intersects_aabb).
+    def edge_hits(a, half_b, c):
+        return ((c <= 0.0) | (a + 2.0 * half_b + c <= 0.0)
+                | ((half_b * half_b >= a * c) & (half_b <= 0.0)
+                   & (-half_b <= a)))
+
+    dx_c = ex - box_x
+    dy_c = ey - box_y
+    sx = np.sign(dx_c)
+    sy = np.sign(dy_c)
+    cpx = box_x + sx * ext_x - ex
+    cpy = box_y + sy * ext_y - ey
+    gx = ca * cpx + cb * cpy
+    gy = cb * cpx + cc * cpy
+    c = cpx * gx + cpy * gy - 1.0
+    got64 = ((np.abs(dx_c) <= ext_x) & (np.abs(dy_c) <= ext_y)
+             | edge_hits(ca * 4.0 * ext_x * ext_x, -sx * 2.0 * ext_x * gx, c)
+             | edge_hits(cc * 4.0 * ext_y * ext_y, -sy * 2.0 * ext_y * gy, c))
+    np.testing.assert_array_equal(got64, want)
+    assert want.any() and not want.all()  # both classes exercised
+
+    got32 = np.asarray(jax.jit(ellipse_intersects_aabb)(
+        *[jnp.asarray(v, jnp.float32) for v in
+          (box_x, box_y, ext_x, ext_y, ex, ey, ca, cb, cc)]))
+    flips = int(np.sum(got32 != want))
+    assert flips <= m // 1000, f"{flips} f32 borderline flips of {m}"
