@@ -100,9 +100,9 @@ def main():
     def pool_at(density):
         return max(-(-int(2162688 * density) // 512) * 512, 1 << 16)
 
-    def make_fwd(img_size, density):
+    def make_fwd(img_size, density, pool_mult=1):
         cp = camera_params(cam, img_size)
-        mi = pool_at(density)
+        mi = pool_mult * pool_at(density)
 
         @jax.jit
         def forward(means, log_scales, quats, sh_coeffs, raw_opacity):
@@ -110,7 +110,7 @@ def main():
                 means, log_scales, quats, sh_coeffs, raw_opacity,
                 cp, img_size, block_size=512, max_isects=mi, cell=cell,
             )
-            return img, aux.num_isects
+            return img, aux.num_dropped
 
         return forward
 
@@ -158,25 +158,36 @@ def main():
     )
 
     # --- matrix (render_bench.rs sweep corners; --full = all densities) ---
+    # Every point also reports its dropped-record count when nonzero
+    # (matrix_dropped): a point whose pool overflowed measured a truncated
+    # workload and must not be read as a clean time.
     matrix = {}
+    matrix_dropped = {}
+
+    def measure_point(key, img_size, d, pool_mult=1, mean_mult=1.0):
+        a = args_at(d, mean_mult=mean_mult)
+        fwd = make_fwd(img_size, d, pool_mult=pool_mult)
+        dt = _median_time(fwd, a, sync_img)
+        matrix[key] = round(dt * 1e3, 2)
+        dropped = int(np.asarray(fwd(*a)[1]))
+        if dropped:
+            matrix_dropped[key] = dropped
+
     densities = FULL_DENSITIES if full else DENSITIES
     for img_size in ((lo_res, lo_res), (hi_res, hi_res)):
         for d in densities:
             if img_size == (hi_res, hi_res) and d == 1.0:
                 matrix[f"{img_size[0]}_d{d}"] = round(dt_fwd * 1e3, 2)
                 continue  # the headline already measured this point
-            a = args_at(d)
-            dt = _median_time(make_fwd(img_size, d), a, sync_img)
-            matrix[f"{img_size[0]}_d{d}"] = round(dt * 1e3, 2)
+            measure_point(f"{img_size[0]}_d{d}", img_size, d)
     if full:
         # The reference's "dense" group: means * 0.25 packs the same splats
         # into a smaller volume (render_bench.rs DENSE_MULT) — more overlap
-        # per tile, bigger pools. Pool sized 4x the base config's records.
+        # per tile, bigger pools (4x the density-scaled base; overflow, if
+        # any, shows up in matrix_dropped rather than passing silently).
         for d in (0.1, 0.5, 1.0):
-            a = args_at(d, mean_mult=0.25)
-            dt = _median_time(make_fwd((lo_res, lo_res), min(4 * d, 1.0)),
-                              a, sync_img)
-            matrix[f"{lo_res}_dense_d{d}"] = round(dt * 1e3, 2)
+            measure_point(f"{lo_res}_dense_d{d}", (lo_res, lo_res), d,
+                          pool_mult=4, mean_mult=0.25)
     # fwd+bwd at the 512 corner (the reference's bwd group).
     p512 = {k: v for k, v in params.items()}
     st = [p512, init_adam(p512)]
@@ -191,11 +202,16 @@ def main():
     ) * 1e3, 2)
 
     # --- stage buckets from jitted prefix ablations ---
-    # Skipped in CPU smoke mode: the ablations instantiate the real Pallas
-    # kernels (no interpret fallback) and only make sense on the chip.
+    # Skipped in CPU smoke mode (the ablations instantiate the real Pallas
+    # kernels, no interpret fallback) AND whenever the headline config was
+    # overridden (BENCH_N/BENCH_RES/BENCH_CELL): make_staged is pinned to
+    # the canonical 1M/1024^2/1x1 pipeline, so mixing it with an overridden
+    # dt_fwd would subtract times from incompatible configs (the raster
+    # bucket could even go negative under BENCH_CELL).
     stages = {}
-    if with_stages and os.environ.get("BENCH_PLATFORM", "") in ("", "tpu",
-                                                                "axon"):
+    canonical = (n_splats == 1 << 20 and hi_res == 1024 and cell == (1, 1))
+    if with_stages and canonical and os.environ.get(
+            "BENCH_PLATFORM", "") in ("", "tpu", "axon"):
         from scripts.profile_r3 import make_staged, MAX_ISECTS  # noqa: F401
 
         cp = camera_params(cam, (1024, 1024))  # stage ablation is fixed-config
@@ -222,6 +238,7 @@ def main():
                 "train_step_ms": round(dt_train * 1e3, 2),
                 "train_iters_per_s": round(1.0 / dt_train, 2),
                 "matrix_ms": matrix,
+                "matrix_dropped": matrix_dropped,
                 "stages": stages,
             }
         )

@@ -418,6 +418,8 @@ def main(argv=None):
     t2.add_argument("--block-size", type=int, default=64)
     t2.add_argument("--log-every", type=int, default=50)
     t2.add_argument("--out", default=None, help="write final render PNG")
+    t2.add_argument("--shard", action="store_true",
+                    help="shard training over all visible devices")
     t2.set_defaults(fn=cmd_train2d)
 
     args = ap.parse_args(argv)

@@ -71,11 +71,19 @@ def _edge_hits(a, half_b, c):
     dense (64, N) pretest — with sign tests on the same polynomial; the
     accepted set is identical in real arithmetic (boundary-grazing f32
     flips are the usual measure-zero class the golden tolerances cover).
+    The a > 0 guard keeps the vertex clause off degenerate conics (a
+    diagonal entry underflowing to exactly 0), where f is linear and the
+    endpoint clauses alone are the right test; there the root formula
+    produced NaN roots and rejected even endpoint-inside edges — this
+    form accepts them, which is the safe direction (a spurious record is
+    culled by the rasterizer's alpha cut; a missed one would hole the
+    image).
     """
     return (
         (c <= 0.0)
         | (a + 2.0 * half_b + c <= 0.0)
-        | ((half_b * half_b >= a * c) & (half_b <= 0.0) & (-half_b <= a))
+        | ((half_b * half_b >= a * c) & (half_b <= 0.0) & (-half_b <= a)
+           & (a > 0.0))
     )
 
 

@@ -1,8 +1,9 @@
-"""Stage ablation of the new pallas record pipeline on the real chip."""
+"""Stage ablation of the new pallas record pipeline on the real chip.
 
 STALE (round-3): the packed-record pipeline changed expand_pallas's
 signature (comps/bf16 component rows, no slot_bits) and the record layout
 (8 u32 rows). Use scripts/profile_r3.py for current measurements.
+"""
 
 import os
 import sys
