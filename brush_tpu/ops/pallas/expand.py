@@ -259,7 +259,9 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
 
             # Packed record rows (see rasterize_fwd.PACK_ROWS layout).
             bc = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
-            u = lambda v: v.astype(jnp.uint32)
+            # f32 -> u32 must route through i32: Mosaic has no fptoui, and
+            # the values are u16-range so the i32 hop is exact.
+            u = lambda v: v.astype(jnp.int32).astype(jnp.uint32)
             colop0 = u(_c2(out, 15)) | (u(_c2(out, 17)) << 16)
             colop1 = u(_c2(out, 19)) | (u(_c2(out, 21)) << 16)
             splat = jnp.where(valid, sbuf[b % n_buf], n).astype(jnp.uint32)

@@ -67,8 +67,12 @@ def quantize_opac(o):
 
 
 def _u16f(q):
-    """u16-valued uint32 -> exact f32 (works in XLA and in-kernel)."""
-    return q.astype(jnp.float32)
+    """u16-valued uint32 -> exact f32 (works in XLA and in-kernel).
+
+    Routes through i32: Mosaic has no uitofp, and the value fits i32
+    exactly (<= 65535), so the hop changes nothing numerically.
+    """
+    return q.astype(jnp.int32).astype(jnp.float32)
 
 
 def decode_color(q):
