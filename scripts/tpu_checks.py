@@ -99,10 +99,13 @@ def main():
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
 
+    # interp: on a CPU host the whole script runs in interpret mode as a
+    # smoke test of every check (the on-chip run is the real gate).
+    interp = jax.default_backend() == "cpu"
     fwd = lambda: rasterize_fwd_pallas(
         packed, starts, ends, tile_ids,
         tiles_x=tiles_x, num_tiles=num_tiles, max_isects=max_isects,
-        k_lanes=k_lanes,
+        k_lanes=k_lanes, interpret=interp,
     )
     t0 = time.perf_counter()
     img_pl, log_t, fidx = jax.block_until_ready(fwd())
@@ -189,6 +192,111 @@ def main():
                  **{f"p{i}": np.asarray(g) for i, g in enumerate(g_p)},
                  **{f"x{i}": np.asarray(g) for i, g in enumerate(g_x)})
         print("MATCH (record pipeline fwd+bwd)")
+
+    # --- raster-cell grouping on hardware: same bounds vs the 1x1 pallas
+    # image (per-pixel compositing order is identical; only batch
+    # boundaries and the cell-local quadratic frame differ) ---
+    def pipe_cell(cell):
+        def f(means_, scales_, quats_, sh_, opac_):
+            img, _ = render_splats(
+                means_, scales_, quats_, sh_, opac_, cp, img_size,
+                block_size=k_lanes, max_isects=max_isects, backend="pallas",
+                cell=cell,
+            )
+            return jnp.sum(img ** 2), img
+        return jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2, 3, 4),
+                                          has_aux=True))
+
+    for cell in ((2, 2), (4, 2)):
+        t0 = time.perf_counter()
+        (l_c, img_c), g_c = jax.block_until_ready(
+            pipe_cell(cell)(means, log_scales, quats, sh, opac_raw))
+        print(f"cell {cell} fwd+bwd compile+run: {time.perf_counter()-t0:.1f}s")
+        assert all(bool(jnp.isfinite(g).all()) for g in g_c), f"cell {cell} NaN grads"
+        di = np.abs(np.asarray(img_c) - np.asarray(img_p))
+        fro = max(
+            np.linalg.norm(np.asarray(a) - np.asarray(b))
+            / max(np.linalg.norm(np.asarray(b)), 1e-6)
+            for a, b in zip(g_c, g_p)
+        )
+        print(f"cell {cell} img vs 1x1: max {di.max():.2e} grad-fro {fro:.2e}")
+        assert di.max() < 1.5 / 255.0, f"CELL {cell} IMG MISMATCH"
+        assert fro < 5e-3, f"CELL {cell} GRAD MISMATCH"
+        print(f"MATCH (cell {cell})")
+
+    # --- strip-local pipeline on hardware: each strip rendered with a
+    # strip-restricted mask set + strip pool must reassemble to the full
+    # frame (the sharded step's per-device path, minus the mesh) ---
+    from brush_tpu.constants import sh_degree_from_coeffs
+    from brush_tpu.ops.binning import (
+        precompute_tile_masks, restrict_masks_to_strip,
+    )
+    from brush_tpu.ops.pallas import raster_vjp
+    from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.rasterize_tiled import assemble_image
+    from brush_tpu.render import pack_decode_parts
+
+    tiles_x = -(-img_size[0] // TILE_WIDTH)
+    tiles_y = -(-img_size[1] // TILE_WIDTH)
+    n_strips = 4
+    strip_rows = -(-tiles_y // n_strips)
+    tiles_per = strip_rows * tiles_x
+    pool_strip = max(-(-max_isects // 512) * 512 // 2, 512 * 4)
+
+    @jax.jit
+    def strip_render(means_, scales_, quats_, sh_, opac_):
+        quats_n = quats_ / jnp.linalg.norm(
+            quats_, axis=-1, keepdims=True).clip(1e-12)
+        proj = project_splats(means_, scales_, quats_n, cp.viewmat, cp.focal,
+                              cp.pixel_center, img_size)
+        vd = means_ - cp.viewmat[:3, 3]
+        vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True).clip(1e-12)
+        color = sh_to_color(sh_degree_from_coeffs(sh_.shape[1]), vd, sh_)
+        opac = jax.nn.sigmoid(opac_)
+        masks = precompute_tile_masks(proj, opac)
+        producing = proj.visible & (masks.counts > 0)
+        counts_g = jnp.where(producing, masks.counts, 0)
+        attrs9 = jnp.stack(
+            [proj.xy[:, 0], proj.xy[:, 1], proj.conic[:, 0],
+             proj.conic[:, 1], proj.conic[:, 2], color[:, 0], color[:, 1],
+             color[:, 2], opac], axis=0)
+        depth_bits = jax.lax.bitcast_convert_type(
+            jnp.maximum(proj.depth, 1e-20), jnp.uint32)
+        outs = []
+        dropped = jnp.int32(0)
+        raster = raster_vjp.make_pallas_pipeline(
+            tiles_x, tiles_x * tiles_y, pool_strip, means_.shape[0],
+            raster_tiles=tiles_per,
+            interpret=jax.default_backend() == "cpu")
+        for d in range(n_strips):
+            r0 = d * strip_rows
+            counts_d, m_lo_d, m_hi_d, tmin_y_d, bbox_h_d = (
+                restrict_masks_to_strip(proj, masks, counts_g,
+                                        jnp.int32(r0),
+                                        jnp.int32(r0 + strip_rows)))
+            bbox_w = jnp.clip(
+                proj.tile_max[:, 0] - proj.tile_min[:, 0], 1, 1023)
+            decode_d = pack_decode_parts(
+                proj.tile_min[:, 0], tmin_y_d, bbox_w, bbox_h_d, counts_d,
+                masks.small.astype(jnp.uint32), m_lo_d, m_hi_d)
+            dkey = jnp.where(counts_d > 0, depth_bits, jnp.uint32(0xFFFFFFFF))
+            my_tiles = r0 * tiles_x + jnp.arange(tiles_per, dtype=jnp.int32)
+            img_tiles, _, _, raw = raster(attrs9, decode_d, dkey, my_tiles)
+            outs.append(img_tiles)
+            dropped += jnp.maximum(raw - pool_strip, 0)
+        full = jnp.concatenate(outs, axis=0)[:tiles_x * tiles_y]
+        return assemble_image(full, img_size, tiles_x, tiles_y), dropped
+
+    t0 = time.perf_counter()
+    img_s, dropped = jax.block_until_ready(
+        strip_render(means, log_scales, quats, sh, opac_raw))
+    print(f"strip pipeline compile+run: {time.perf_counter()-t0:.1f}s "
+          f"dropped={int(dropped)}")
+    ds = np.abs(np.asarray(img_s) - np.asarray(img_p))
+    print(f"strip img vs full: max {ds.max():.2e}")
+    assert int(dropped) == 0, "STRIP POOL OVERFLOW (raise pool_strip)"
+    assert ds.max() < 1.5 / 255.0, "STRIP IMG MISMATCH"
+    print("MATCH (strip-local pipeline)")
 
 
 if __name__ == "__main__":
