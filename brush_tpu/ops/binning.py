@@ -439,9 +439,16 @@ def build_intersections(
 
     decode = decode_g[order]                       # ONE N-sized row gather
     counts_c = decode[:, 0]
+    # Overflow-safe offsets (same guard as raster_vjp._fwd_impl): a
+    # pathological frame can push the raw record sum past 2^31; an f32
+    # shadow cumsum zeroes counts that are safely past the pool so the
+    # exact i32 cumsum stays bounded, and the raw total reports clamped.
+    cum_f = jnp.cumsum(counts_c.astype(jnp.float32))
+    beyond = cum_f - counts_c.astype(jnp.float32) > 4.0 * max_isects
+    counts_c = jnp.where(beyond, 0, counts_c)
     cum = jnp.cumsum(counts_c)
     offsets = cum - counts_c
-    total = cum[-1]
+    total = jnp.minimum(cum_f[-1], 2.0**31 - 1024).astype(jnp.int32)
     # Repurpose column 0 to hold the slot offsets so the per-slot lookup
     # below stays a single row gather.
     decode = jnp.concatenate([offsets[:, None], decode[:, 1:]], axis=1)

@@ -187,9 +187,23 @@ def make_pallas_pipeline(
             (_popcount_u32(m_lo) + _popcount_u32(m_hi)).astype(jnp.uint32),
             bbox_w_c * m_lo,
         ).astype(jnp.int32)
-        cum = jnp.cumsum(counts_c)
-        offsets = cum - counts_c
-        raw_total = cum[-1].astype(jnp.int32)
+        # Overflow-safe offsets: the exact i32 cumsum only matters for
+        # splats whose records can land in the pool; a pathological frame
+        # (millions of splats with huge bboxes) can push the raw record
+        # sum past 2^31, wrapping cum negative — total would go negative
+        # (empty frame) while num_dropped = max(raw-total, 0) reads 0, the
+        # exact silence the counter exists to prevent. An f32 shadow
+        # cumsum (error << the 4x-pool margin) marks splats whose offsets
+        # are safely past the pool; their counts are zeroed for the exact
+        # cumsum, which is then bounded by ~4*max_isects + one bbox
+        # (< 2^31 given the u24 pool assert). raw_total is clamped f32 —
+        # observability-exact until 2^24 records, approximate-huge beyond.
+        cum_f = jnp.cumsum(counts_c.astype(jnp.float32))
+        beyond = cum_f - counts_c.astype(jnp.float32) > 4.0 * max_isects
+        counts_i = jnp.where(beyond, 0, counts_c)
+        cum = jnp.cumsum(counts_i)
+        offsets = cum - counts_i
+        raw_total = jnp.minimum(cum_f[-1], 2**31 - 1024).astype(jnp.int32)
         total = jnp.minimum(cum[-1:], max_isects).astype(jnp.int32)
 
         # bf16-component stack for the expand kernel's one-hot matmul:
@@ -204,7 +218,7 @@ def make_pallas_pipeline(
         # Slot -> compact splat id: one scatter-add at segment starts +
         # cumsum (producing splats are the depth-order prefix, so the
         # running count of starts IS the compact index).
-        scatter_idx = jnp.where(counts_c > 0, offsets, max_isects)
+        scatter_idx = jnp.where(counts_i > 0, offsets, max_isects)
         marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].add(
             1, mode="drop"
         )
@@ -289,6 +303,7 @@ def make_pallas_pipeline(
             packed, g_img, log_t, fidx, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret, grads_init=grads_init,
+            tiles_per_step=tiles_per_step, n_buf=n_buf,
             scan_passes=scan_passes, cell=cell,
         )  # (16, max_isects + k_lanes), tile order
         # The pool is strip-local (every valid record belongs to this
@@ -366,8 +381,9 @@ def make_pallas_rasterizer(
     interpret: bool = False,
 ):
     """Aligned-records rasterizer (same call signature as
-    ops.rasterize_tiled.make_rasterizer). Used by the sharded train step;
-    single-device rendering uses make_pallas_pipeline."""
+    ops.rasterize_tiled.make_rasterizer). Exercises the raster kernels on
+    externally-binned aligned records — today only tests use it (the
+    sharded train step builds make_pallas_pipeline, train_step.py:116)."""
 
     def _fwd_impl(xy, conic, color, opac, isect_gid, starts, ends, tile_ids):
         packed = pack_isect_splats(xy, conic, color, opac, isect_gid,

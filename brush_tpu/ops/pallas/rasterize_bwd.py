@@ -50,7 +50,7 @@ GRAD_ROWS = 16  # v_xy(2), v_conic(3), v_color(3), v_opac(1), 7 pad
 ZERO_MULT = 4   # batches zero-filled per DMA from the wide zero scratch
 
 
-def _make_bwd_kernel(tiles_x: int, max_isects: int, k_lanes: int,
+def _make_bwd_kernel(tiles_x: int, k_lanes: int,
                      tiles_per_step: int = 1, n_buf: int = 4,
                      scan_passes: int = 3, cell=(1, 1)):
     def kernel(starts_ref, ends_ref, tile_ids_ref,
@@ -358,7 +358,7 @@ def rasterize_bwd_pallas(
         v_out_tiles = jnp.pad(v_out_tiles, ((0, pad), (0, 0), (0, 0)))
         log_t = jnp.pad(log_t, ((0, pad), (0, 0)))
         fidx = jnp.pad(fidx, ((0, pad), (0, 0)), constant_values=-1)
-    kernel = _make_bwd_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
+    kernel = _make_bwd_kernel(tiles_x, k_lanes, tiles_per_step=g,
                               n_buf=n_buf, scan_passes=scan_passes, cell=cell)
     p = TILE_SIZE * cell[0] * cell[1]
     in_specs = [

@@ -253,7 +253,7 @@ def _splat_basis(dec, center_x, center_y):
     return jnp.concatenate([b0, b1, b2, b3, b4, b5, zero, zero], axis=0)
 
 
-def _make_kernel(tiles_x: int, max_isects: int, k_lanes: int,
+def _make_kernel(tiles_x: int, k_lanes: int,
                  tiles_per_step: int = 1, n_buf: int = 2,
                  scan_passes: int = 3, cell=(1, 1)):
 
@@ -431,7 +431,7 @@ def rasterize_fwd_pallas(
         ends = jnp.pad(ends, (0, pad))
         tile_ids = jnp.pad(tile_ids, (0, pad))
     p = TILE_SIZE * cell[0] * cell[1]
-    kernel = _make_kernel(tiles_x, max_isects, k_lanes, tiles_per_step=g,
+    kernel = _make_kernel(tiles_x, k_lanes, tiles_per_step=g,
                           n_buf=n_buf, scan_passes=scan_passes, cell=cell)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
