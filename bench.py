@@ -144,6 +144,26 @@ def main():
     dt_fwd = _median_time(make_fwd((hi_res, hi_res), 1.0), args_full, sync_img)
     mpix_per_s = hi_res * hi_res / 1e6 / dt_fwd
 
+    # Inference-mode forward (the reference's fwd-only u32 raster,
+    # render_bench.rs:199-214): two fewer pool-scale sort payloads. The
+    # headline stays the train-capable forward for cross-round
+    # comparability; this is the number the viewer/eval path sees.
+    dt_infer = None
+    if os.environ.get("BENCH_INFER", "1") != "0":
+        cp_h = camera_params(cam, (hi_res, hi_res))
+        mi_h = pool_at(1.0)
+
+        @jax.jit
+        def fwd_infer(means, log_scales, quats, sh_coeffs, raw_opacity):
+            img, aux = render_splats(
+                means, log_scales, quats, sh_coeffs, raw_opacity,
+                cp_h, (hi_res, hi_res), block_size=512, max_isects=mi_h,
+                cell=cell, needs_grad=False,
+            )
+            return img, aux.num_dropped
+
+        dt_infer = _median_time(fwd_infer, args_full, sync_img)
+
     params = jax.device_put(splats.params())
     opt = init_adam(params)
     state = [params, opt]
@@ -235,6 +255,8 @@ def main():
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_per_s / 1000.0, 3),
                 "fwd_ms": round(dt_fwd * 1e3, 2),
+                "fwd_infer_ms": (None if dt_infer is None
+                                 else round(dt_infer * 1e3, 2)),
                 "train_step_ms": round(dt_train * 1e3, 2),
                 "train_iters_per_s": round(1.0 / dt_train, 2),
                 "matrix_ms": matrix,

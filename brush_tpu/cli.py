@@ -242,6 +242,7 @@ def cmd_render(args):
             splats.means, splats.log_scales, splats.quats, splats.sh_coeffs,
             splats.raw_opacity, cam, (w, h), active=splats.active_mask(),
             block_size=args.block_size, max_isects=max_isects,
+            needs_grad=False,
         )
         dropped = int(aux.num_dropped)
         if dropped == 0:
@@ -327,6 +328,7 @@ def cmd_train2d(args):
         img_r, _ = render_splats(
             s.means, s.log_scales, s.quats, s.sh_coeffs, s.raw_opacity,
             cp, (w, h), active=s.active_mask(), block_size=args.block_size,
+            needs_grad=False,
         )
         rgba = np.clip(np.asarray(img_r) * 255, 0, 255).astype(np.uint8)
         Image.fromarray(rgba, "RGBA").save(args.out)

@@ -44,7 +44,7 @@ def eval_view(
             splats.means, splats.log_scales, splats.quats,
             splats.sh_coeffs, splats.raw_opacity,
             cam, (w, h), active=splats.active_mask(), block_size=block_size,
-            max_isects=max_isects, cell=cell,
+            max_isects=max_isects, cell=cell, needs_grad=False,
         )
         dropped = int(aux.num_dropped)
         if dropped == 0:

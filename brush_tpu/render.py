@@ -135,7 +135,7 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
 
 def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
                    max_isects, k_lanes, interpret, scan_passes=3,
-                   pack_grad_sort=False, cell=(1, 1)):
+                   pack_grad_sort=False, cell=(1, 1), needs_grad=True):
     """TPU record pipeline (see ops/pallas/raster_vjp.py).
 
     xy/conic/color/opac are differentiable; proj/masks are stop-gradient
@@ -169,7 +169,7 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
     raster = make_pallas_pipeline(
         tiles_x, num_tiles, max_isects, n, k_lanes=k_lanes,
         interpret=interpret, scan_passes=scan_passes,
-        pack_grad_sort=pack_grad_sort, cell=cell,
+        pack_grad_sort=pack_grad_sort, cell=cell, needs_grad=needs_grad,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles, order, total, raw_total = raster(
@@ -196,6 +196,7 @@ def render_splats(
     scan_passes: int = 3,
     pack_grad_sort: bool = False,
     cell: tuple = (1, 1),
+    needs_grad: bool = True,
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Render (h, w, 4) RGBA. img_size is (w, h) static.
 
@@ -209,6 +210,10 @@ def render_splats(
     cell=(gw, gh) rasterizes in cells of gw x gh tiles: one record per
     splat x cell shrinks every pool-scale stage by the multi-tile-coverage
     factor at the cost of sweeping 256*gw*gh pixels per record.
+    needs_grad=False (pallas path) builds the inference-only pipeline —
+    two fewer pool-scale sort payloads, bit-identical image, grads raise;
+    eval/viewer/render callers use it (the reference's fwd-only u32 raster
+    mode, rasterize.wgsl:106-109). aux.order is zeros there.
     """
     n = means.shape[0]
     w, h = int(img_size[0]), int(img_size[1])
@@ -261,7 +266,7 @@ def render_splats(
             max_isects, k_lanes,
             interpret=jax.default_backend() == "cpu",
             scan_passes=scan_passes, pack_grad_sort=pack_grad_sort,
-            cell=cell,
+            cell=cell, needs_grad=needs_grad,
         )
         num_visible = jnp.sum(proj.visible).astype(jnp.int32)
         aux = RenderAux(

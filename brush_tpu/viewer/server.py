@@ -76,7 +76,7 @@ class RenderService:
         img, _ = render_splats(
             s.means, s.log_scales, s.quats, s.sh_coeffs, s.raw_opacity,
             cp, img_size, active=s.active_mask(), block_size=self.block_size,
-            cell=self.cell,
+            cell=self.cell, needs_grad=False,
         )
         # The reference's display path: RGBA8 packed into u32 words.
         packed = np.asarray(pack_rgba_u32(img))

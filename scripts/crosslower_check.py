@@ -112,6 +112,8 @@ def build_cases():
         ("fwd tps16", build(False, tiles_per_step=16)),
         ("fwd nbuf8", build(False, n_buf=8)),
         ("fwd nbuf2", build(False, n_buf=2)),
+        ("fwd infer", build(False, needs_grad=False)),
+        ("fwd infer cell2x2", build(False, needs_grad=False, cell=(2, 2))),
     ]
     return cases, args
 

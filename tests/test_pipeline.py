@@ -289,3 +289,34 @@ def test_pipeline_cell_grouping_grads():
         assert_close_quantized(a / scale, b / scale, atol=1e-3,
                                flip_tol=0.1, max_flip_frac=5e-3,
                                err_msg="cell grads")
+
+
+def test_inference_pipeline_bit_identical_and_nondifferentiable():
+    """needs_grad=False must change NOTHING about the image — same stable
+    sorts on the same keys, same kernels, just two fewer payload rows
+    (the depth sort's `order` and the tile sort's splat-id row, which only
+    the backward reads). Gradients through it must fail loudly instead of
+    autodiffing through the sorts."""
+    model, cam = _scene(n=600, seed=11)
+    img_size = (80, 48)
+    cp = camera_params(cam, img_size)
+    args = (model.means, model.log_scales, model.quats, model.sh_coeffs,
+            model.raw_opacity)
+
+    img_t, aux_t = render_splats(*args, cp, img_size, backend="pallas",
+                                 block_size=128, max_isects=2048)
+    img_i, aux_i = render_splats(*args, cp, img_size, backend="pallas",
+                                 block_size=128, max_isects=2048,
+                                 needs_grad=False)
+    np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_i))
+    assert int(aux_t.num_isects) == int(aux_i.num_isects)
+    assert int(aux_t.num_dropped) == int(aux_i.num_dropped)
+
+    def loss(means):
+        img, _ = render_splats(means, *args[1:], cp, img_size,
+                               backend="pallas", block_size=128,
+                               max_isects=2048, needs_grad=False)
+        return img[..., :3].mean()
+
+    with pytest.raises(Exception, match="inference-only"):
+        jax.grad(loss)(model.means)
