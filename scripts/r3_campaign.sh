@@ -26,13 +26,13 @@ fi
 
 if [[ $PHASE == all || $PHASE == bench ]]; then
   # Headline at the unchanged bench config (1x1 cells).
-  run bench_1x1 5400 python bench.py
+  run bench_1x1 7200 python bench.py
 fi
 
 if [[ $PHASE == all || $PHASE == cells ]]; then
   # Raster-cell grouping: the candidate default. Fresh compiles per cell.
-  BENCH_CELL=2x2 run bench_2x2 5400 python bench.py
-  BENCH_CELL=4x2 run bench_4x2 5400 python bench.py
+  BENCH_CELL=2x2 run bench_2x2 7200 python bench.py
+  BENCH_CELL=4x2 run bench_4x2 7200 python bench.py
 fi
 
 if [[ $PHASE == all || $PHASE == profile ]]; then
