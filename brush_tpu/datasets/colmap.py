@@ -177,8 +177,19 @@ def _read_cameras_text(data: bytes) -> dict[int, ColmapCamera]:
 
 def _read_images_text(data: bytes) -> dict[int, ColmapImage]:
     images = {}
-    lines = list(_data_lines(data))
-    # Two lines per image: pose line, then the 2D-point track line.
+    # Two lines per image: pose line, then the 2D-point track line. The
+    # track line is EMPTY for images with zero observations (a real COLMAP
+    # output), so blank lines must be kept for the pairing to hold —
+    # _data_lines (which drops them) would shift every later image onto a
+    # track line and corrupt or crash the parse. Only comments are
+    # filtered; a trailing blank line (file ends with a newline) is fine
+    # because pose lines sit at even indices.
+    lines = [
+        ln.strip() for ln in data.decode("utf-8").splitlines()
+        if not ln.lstrip().startswith("#")
+    ]
+    while lines and not lines[-1]:
+        lines.pop()
     for pose_line in lines[0::2]:
         parts = pose_line.split()
         img_id = int(parts[0])

@@ -20,6 +20,13 @@ PREFETCH = 5  # scene_loader.rs:19
 
 class SceneLoader:
     def __init__(self, scene: Scene, seed: int = 42, prefetch: int = PREFETCH):
+        if not scene.views:
+            # rng.integers(0) would kill the daemon thread silently and the
+            # first next_batch() would then block forever.
+            raise ValueError(
+                "SceneLoader: scene has no views (did eval_split_every "
+                "move every view into the eval split?)"
+            )
         self.scene = scene
         self.extent = scene.extent_max()
         self._rng = np.random.default_rng(seed)

@@ -40,6 +40,8 @@ class LoadDatasetArgs:
     max_frames: int | None = None
     max_resolution: int | None = None
     eval_split_every: int | None = None
+    # Replicate the reference's literal NeRF split (see _nerf_split).
+    faithful_nerf_split: bool = False
 
 
 class FileSource:
@@ -130,14 +132,26 @@ def _load_nerf_views(src: FileSource, base: str, name: str, args: LoadDatasetArg
 
 
 def _nerf_split(train_all, val_views, args: LoadDatasetArgs) -> Dataset:
+    """Reference bug, fixed by default: nerf_synthetic.rs:118-126 carves
+    every Nth TRAIN view into eval only when a val split ALSO exists — the
+    opposite of its own comment ("Include extra eval images only when the
+    dataset doesn't have them") and of what eval needs. Under the literal
+    behavior a dataset WITHOUT transforms_val.json gets no eval views at
+    all (metrics silently never run), while one WITH a val split loses
+    every Nth training view into an eval set it already has. Default:
+    follow the comment's intent — carve exactly when val is missing;
+    LoadDatasetArgs.faithful_nerf_split=True restores the literal
+    reference behavior (for byte-level parity runs)."""
     train_views, eval_views = [], []
     for i, view in enumerate(train_all):
-        # Extra eval images only when the dataset has no val split
-        # (nerf_synthetic.rs:118-126).
+        if args.faithful_nerf_split:
+            carve = val_views is not None
+        else:
+            carve = val_views is None
         if (
             args.eval_split_every is not None
             and i % args.eval_split_every == 0
-            and val_views is not None
+            and carve
         ):
             eval_views.append(view)
         else:
@@ -247,10 +261,12 @@ def load_dataset(source, args: LoadDatasetArgs | None = None) -> Dataset:
     """Try nerf-synthetic, fall back to COLMAP (formats/mod.rs:16-27)."""
     args = args or LoadDatasetArgs()
     src = source if isinstance(source, FileSource) else FileSource(source)
-    try:
+    # Fall back to COLMAP only when there is no transforms file AT ALL: a
+    # FileNotFoundError raised mid-load (a missing/misnamed image on a
+    # directory source) must propagate — swallowing it would surface as
+    # "No COLMAP data found", pointing at entirely the wrong problem.
+    if src.find_base_path("transforms_train.json") is not None:
         return load_nerf_synthetic(src, args)
-    except FileNotFoundError:
-        pass
     return load_colmap(src, args)
 
 
@@ -261,8 +277,9 @@ def load_dataset_stream(source, args: LoadDatasetArgs | None = None,
     The reference streams progressively-growing Dataset messages to the
     viewer while images decode in parallel threads (formats/mod.rs:16,
     stream_fut_parallel lib.rs:99-124): consumers (the live viewer) can
-    start training on a partial scene. Intermediate yields contain only the
-    train split; the final yield equals load_dataset(...).
+    start training on a partial scene. Every view lands on its FINAL split
+    side from the first yield (a future eval view is never exposed as
+    train); the final yield equals load_dataset(...).
     """
     args = args or LoadDatasetArgs()
     src = source if isinstance(source, FileSource) else FileSource(source)
@@ -272,22 +289,40 @@ def load_dataset_stream(source, args: LoadDatasetArgs | None = None,
     if base is not None:
         lf = _nerf_view_loader(src, base, "transforms_train.json", args)
         load, items = lf
+        # The carve rule needs val-split existence up front so streamed
+        # views land on their FINAL side — an eval view must never be
+        # trained on during the progressive phase.
+        has_val = (
+            _nerf_view_loader(src, base, "transforms_val.json", args)
+            is not None
+        )
+        carve = (has_val if args.faithful_nerf_split else not has_val)
     else:
         fmt = "colmap"
         load, items = _colmap_view_loader(src, args)
+        carve = True
 
-    views = []
+    def is_eval(i):
+        return (args.eval_split_every is not None
+                and i % args.eval_split_every == 0 and carve)
+
+    views = []          # final-split train views
+    stream_eval = []    # final-split eval views, in arrival order
     with ThreadPoolExecutor(max_workers=os.cpu_count() or 8) as pool:
-        for view in pool.map(load, items):
-            views.append(view)
-            if len(views) % every == 0 and len(views) < len(items):
-                yield Dataset(train=Scene(views=list(views)), eval=None)
+        for i, view in enumerate(pool.map(load, items)):
+            (stream_eval if is_eval(i) else views).append(view)
+            done = i + 1
+            if done % every == 0 and done < len(items):
+                yield Dataset(
+                    train=Scene(views=list(views)),
+                    eval=Scene(views=list(stream_eval)) if stream_eval else None,
+                )
 
     if fmt == "nerf":
         val_views = _load_nerf_views(src, base, "transforms_val.json", args)
-        yield _nerf_split(views, val_views, args)
-    else:
-        yield _colmap_split(views, args)
+        if val_views:
+            stream_eval.extend(val_views)
+    yield Dataset.from_views(views, stream_eval)
 
 
 def load_initial_splats(source, sh_degree: int = 3, capacity: int | None = None):
@@ -296,8 +331,13 @@ def load_initial_splats(source, sh_degree: int = 3, capacity: int | None = None)
     from brush_tpu.splats import from_point_cloud
 
     src = source if isinstance(source, FileSource) else FileSource(source)
-    if src.exists("init.ply"):
-        return load_splats_from_ply(src.read("init.ply"), capacity=capacity)
+    # Same base-path discovery as every other lookup: init.ply usually
+    # sits under the archive's single top-level folder, not at the root.
+    ply_base = src.find_base_path("init.ply")
+    if ply_base is not None:
+        return load_splats_from_ply(
+            src.read(_join(ply_base, "init.ply")), capacity=capacity
+        )
     try:
         positions, colors = load_colmap_points(src)
     except FileNotFoundError:

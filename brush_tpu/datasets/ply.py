@@ -111,11 +111,27 @@ def load_splats_from_ply_stream(data: bytes, chunk: int = 50_000,
         if name != "vertex":
             offset += dt.itemsize * count
             continue
+        # Parse and convert each chunk ONCE: every yield is a full
+        # snapshot (the consumer swaps its whole model), but re-running
+        # frombuffer+astype over the ever-growing prefix would make a
+        # 6M-splat import quadratic in chunk count; accumulate converted
+        # arrays and concatenate instead (a memcpy, not a re-parse).
+        acc = {pr: [] for pr, _t in props}
+        parsed = 0
         for upto in range(min(chunk, count), count + 1, chunk):
             if count - upto < chunk:
                 upto = count
-            arr = np.frombuffer(body, dtype=dt, count=upto, offset=offset)
-            verts = {p: arr[p].astype(np.float32) for p, _t in props}
+            arr = np.frombuffer(
+                body, dtype=dt, count=upto - parsed,
+                offset=offset + parsed * dt.itemsize,
+            )
+            for pr, _t in props:
+                acc[pr].append(arr[pr].astype(np.float32))
+            parsed = upto
+            verts = {
+                pr: (np.concatenate(v) if len(v) > 1 else v[0])
+                for pr, v in acc.items()
+            }
             yield _verts_to_splats(verts, capacity)
             if upto == count:
                 return

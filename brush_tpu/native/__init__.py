@@ -29,6 +29,9 @@ _build_failed = False
 
 
 def _build() -> bool:
+    # -march=native is safe ONLY because the .so is never shipped: it is
+    # gitignored and always built on the machine that runs it (a copied
+    # binary could SIGILL on a CPU without the build host's ISA).
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
         "-std=c++17", "-o", _LIB_PATH,

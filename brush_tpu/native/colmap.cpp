@@ -45,7 +45,9 @@ int64_t colmap_points3d_parse(const uint8_t* data, int64_t len, float* pos,
     for (int a = 0; a < 3; ++a) rgb[i * 3 + a] = static_cast<float>(*p++) / 255.0f;
     p += 8;  // reprojection error
     uint64_t track = read<uint64_t>(p);
-    if (end - p < static_cast<int64_t>(track * 8)) return -1;
+    // Divide, don't multiply: a corrupt track_len near 2^61 would wrap
+    // track * 8 past the bounds check and walk p out of the buffer.
+    if (track > static_cast<uint64_t>(end - p) / 8) return -1;
     p += track * 8;
   }
   return static_cast<int64_t>(n);

@@ -121,21 +121,38 @@ def make_colmap_zip(binary=True, num_images=3, size=16, prefix="scene/"):
 def test_nerf_synthetic_loading():
     data = make_nerf_zip(num_frames=4, with_val=True)
     ds = load_dataset(data, LoadDatasetArgs(eval_split_every=2))
-    # i=0 and i=2 go to eval (val exists), plus 1 val view appended.
-    assert len(ds.train.views) == 2
-    assert len(ds.eval.views) == 3
+    # Val split exists -> it IS the eval set; no train views are carved
+    # (the reference's literal code carves anyway — a comment/code
+    # contradiction in nerf_synthetic.rs:118-126 we fix by default, see
+    # _nerf_split; faithful_nerf_split=True restores it below).
+    assert len(ds.train.views) == 4
+    assert len(ds.eval.views) == 1
     view = ds.train.views[0]
     assert view.image.shape == (16, 16, 4)  # PNG with alpha
     assert view.camera.fov_x == pytest.approx(0.7)
 
+    ds_f = load_dataset(
+        data, LoadDatasetArgs(eval_split_every=2, faithful_nerf_split=True)
+    )
+    # Literal reference behavior: i=0 and i=2 carved + 1 val view.
+    assert len(ds_f.train.views) == 2
+    assert len(ds_f.eval.views) == 3
 
-def test_nerf_no_val_means_no_eval_split():
+
+def test_nerf_no_val_carves_eval_from_train():
     data = make_nerf_zip(num_frames=4, with_val=False)
     ds = load_dataset(data, LoadDatasetArgs(eval_split_every=2))
-    # Reference keeps all views in train when no val transforms exist
-    # (nerf_synthetic.rs:118-126).
-    assert len(ds.train.views) == 4
-    assert ds.eval is None
+    # No val split: eval_split_every carves every Nth train view so
+    # metrics can run at all (the comment's intent; the literal reference
+    # behavior — eval never runs — is behind faithful_nerf_split).
+    assert len(ds.train.views) == 2
+    assert len(ds.eval.views) == 2
+
+    ds_f = load_dataset(
+        data, LoadDatasetArgs(eval_split_every=2, faithful_nerf_split=True)
+    )
+    assert len(ds_f.train.views) == 4
+    assert ds_f.eval is None
 
 
 def test_nerf_camera_basis():
@@ -302,3 +319,72 @@ def test_from_safetensors_roundtrip(tmp_path):
     assert int(s.n_live) == n and s.sh_count == 4
     np.testing.assert_allclose(np.asarray(s.means[:n]), d["means"])
     np.testing.assert_allclose(np.asarray(s.log_scales[:n]), d["scales"])
+
+
+def test_colmap_text_images_with_empty_track_lines():
+    """An image with zero 2D observations writes an EMPTY track line —
+    real COLMAP output. Dropping blank lines would shift the 2-line
+    pairing and corrupt every subsequent pose."""
+    from brush_tpu.datasets.colmap import read_images
+
+    txt = (
+        "# comment\n"
+        "1 1 0 0 0 0.5 0.5 0.5 1 a.png\n"
+        "\n"                               # zero observations
+        "2 0 1 0 0 1.5 2.5 3.5 1 b.png\n"
+        "10.0 20.0 -1 30.0 40.0 5\n"
+        "3 0 0 1 0 0.0 0.0 9.0 1 c.png\n"
+        "\n"
+    )
+    imgs = read_images(txt.encode(), binary=False)
+    assert sorted(imgs) == [1, 2, 3]
+    assert imgs[2].name == "b.png"
+    np.testing.assert_allclose(imgs[2].tvec, [1.5, 2.5, 3.5])
+    np.testing.assert_allclose(imgs[3].tvec, [0.0, 0.0, 9.0])
+
+
+def test_init_ply_found_under_base_prefix():
+    """init.ply lives under the archive's single top folder, like every
+    other dataset file — root-only lookup would silently ignore it."""
+    from brush_tpu.datasets.loading import load_initial_splats
+    from brush_tpu.datasets.ply import splats_to_ply
+    from brush_tpu import splats as sp
+
+    pos = np.array([[0, 0, 0], [1, 1, 1]], np.float32)
+    col = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+    model = sp.from_point_cloud(pos, col, sh_degree=0)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("lego/init.ply", splats_to_ply(model))
+        zf.writestr("lego/transforms_train.json", "{}")
+    loaded = load_initial_splats(buf.getvalue(), sh_degree=0)
+    assert loaded is not None and int(loaded.n_live) == 2
+
+
+def test_scene_loader_empty_scene_raises():
+    from brush_tpu.datasets.loader import SceneLoader
+    from brush_tpu.datasets.scene import Scene
+
+    with pytest.raises(ValueError, match="no views"):
+        SceneLoader(Scene(views=[]))
+
+
+def test_stream_split_purity():
+    """Every intermediate yield must keep eval-destined views OUT of the
+    train scene (a view trained on during the progressive phase would
+    contaminate its own eval metric)."""
+    from brush_tpu.datasets.loading import load_dataset, load_dataset_stream
+
+    data = make_nerf_zip(num_frames=6, with_val=False)
+    args = LoadDatasetArgs(eval_split_every=3)
+    final = load_dataset(data, args)
+    eval_names = {v.name for v in final.eval.views}
+    snaps = list(load_dataset_stream(data, args, every=2))
+    for ds in snaps:
+        train_names = {v.name for v in ds.train.views}
+        assert not (train_names & eval_names), "eval view exposed as train"
+    last = snaps[-1]
+    assert {v.name for v in last.train.views} == {
+        v.name for v in final.train.views
+    }
+    assert {v.name for v in last.eval.views} == eval_names
