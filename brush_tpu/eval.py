@@ -18,6 +18,7 @@ class EvalView(NamedTuple):
     psnr: float
     ssim: float
     rendered: np.ndarray | None = None  # kept only when keep_image is set
+    pool: int | None = None  # intersection pool that rendered clean
 
 
 def psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
@@ -27,7 +28,7 @@ def psnr_from_mse(mse: jnp.ndarray) -> jnp.ndarray:
 
 def eval_view(
     splats: Splats, camera, gt_image: np.ndarray, block_size: int = 32,
-    keep_image: bool = False, cell=(1, 1),
+    keep_image: bool = False, cell=(1, 1), pool: int | None = None,
 ) -> EvalView:
     """PSNR/SSIM of one view; MSE on RGB only (eval.rs:48-65).
 
@@ -38,7 +39,11 @@ def eval_view(
     """
     h, w = gt_image.shape[:2]
     cam = camera_params(camera, (w, h))
-    max_isects = None
+    # Pool sizes round UP to a power of two and callers carry the grown
+    # value across views (eval_stats does): a raw data-dependent size
+    # would compile a fresh executable per overflowing view — minutes
+    # each through a remote compiler.
+    max_isects = pool
     for _ in range(4):
         img, aux = render_splats(
             splats.means, splats.log_scales, splats.quats,
@@ -49,7 +54,8 @@ def eval_view(
         dropped = int(aux.num_dropped)
         if dropped == 0:
             break
-        max_isects = 2 * (int(aux.num_isects) + dropped)
+        need = 2 * (int(aux.num_isects) + dropped)
+        max_isects = 1 << (need - 1).bit_length()
     if dropped > 0:
         # Never report a truncated render as a clean score: this is the
         # exact silent-collapse failure mode the retry loop exists to catch.
@@ -65,12 +71,23 @@ def eval_view(
     return EvalView(
         psnr=psnr, ssim=ssim,
         rendered=np.asarray(render_rgb) if keep_image else None,
+        pool=max_isects,
     )
 
 
 def eval_stats(splats: Splats, views, block_size: int = 32,
                keep_images: bool = False, cell=(1, 1)) -> list[EvalView]:
-    """Evaluate a list of (camera, gt_image) pairs (eval.rs:27-77)."""
-    return [eval_view(splats, cam, img, block_size, keep_image=keep_images,
-                      cell=cell)
-            for cam, img in views]
+    """Evaluate a list of (camera, gt_image) pairs (eval.rs:27-77).
+
+    The grown intersection pool carries monotonically across views so the
+    whole pass compiles at most a handful of pool sizes instead of one
+    per overflowing view."""
+    out = []
+    pool = None
+    for cam, img in views:
+        ev = eval_view(splats, cam, img, block_size, keep_image=keep_images,
+                       cell=cell, pool=pool)
+        if ev.pool is not None:
+            pool = ev.pool if pool is None else max(pool, ev.pool)
+        out.append(ev)
+    return out

@@ -69,22 +69,3 @@ def adam_step(
         new_v[key] = v
     return new_params, AdamState(m=new_m, v=new_v, count=count)
 
-
-def permute_state(state: AdamState, perm: jnp.ndarray, new_mask: jnp.ndarray) -> AdamState:
-    """Refinement surgery: gather moment rows by `perm`, zero rows that are
-    newly created splats or padding (`new_mask` True -> zero).
-
-    Keeps momenta of surviving splats across refines — the improvement the
-    reference left on the table (train.rs:567).
-    """
-
-    def fix(x):
-        out = x[perm]
-        shape = (-1,) + (1,) * (out.ndim - 1)
-        return jnp.where(new_mask.reshape(shape), 0.0, out)
-
-    return AdamState(
-        m=jax.tree_util.tree_map(fix, state.m),
-        v=jax.tree_util.tree_map(fix, state.v),
-        count=state.count,
-    )

@@ -57,9 +57,8 @@ class ShardedTrainer(SplatTrainer):
     def init_state(self, splats: Splats) -> TrainState:
         return shard_state(super().init_state(splats), self.mesh)
 
-    @functools.lru_cache(maxsize=16)
-    def _get_step_fn(self, capacity: int, img_size: tuple, channels: int,
-                     sh_count: int, max_isects: int):
+    def _build_step_fn(self, capacity: int, img_size: tuple, channels: int,
+                       sh_count: int, max_isects: int):
         step = make_sharded_train_step(
             self.mesh, self.config, capacity, img_size, channels, sh_count,
             max_isects=max_isects, block_size=self.raster_block_size,
@@ -75,8 +74,7 @@ class ShardedTrainer(SplatTrainer):
 
         return fn
 
-    @functools.lru_cache(maxsize=16)
-    def _get_refine_fn(self, capacity: int, sh_count: int, do_reset: bool):
+    def _build_refine_fn(self, capacity: int, sh_count: int, do_reset: bool):
         from brush_tpu.train import make_refine_fn
 
         base = jax.jit(make_refine_fn(self.config, capacity, do_reset))

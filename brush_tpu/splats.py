@@ -157,6 +157,10 @@ def knn_mean_distance(positions: np.ndarray, k: int = 3) -> np.ndarray:
     distances) / 3. Exact but O(n^2) in the numpy fallback; the native
     extension provides a KD-tree version for large point clouds.
     """
+    # Tiny point clouds: fewer points than neighbors would crash
+    # np.partition (kth out of bounds); self counts among the k, so
+    # clamping to n keeps the semantics.
+    k = max(1, min(k, positions.shape[0]))
     try:
         from brush_tpu.native import knn_distances  # C++ fast path
 

@@ -90,6 +90,11 @@ def quat_rotate(quats: jnp.ndarray, vecs: jnp.ndarray) -> jnp.ndarray:
     """
     from brush_tpu.ops.projection import quat_to_rotmat
 
+    # Stored quats drift off unit norm under Adam (rendering normalizes
+    # internally, render.py); an unnormalized q = s*u gives
+    # I + s^2 (R(u) - I) — a blend of identity and rotation — so split
+    # offsets would skew in direction and scale. Normalize first.
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-12)
     # Elementwise batched matvec (einsum "nij,nj->ni" is a tiny-batched
     # dot, the slow-lowering shape per docs/PERFORMANCE.md).
     rot = quat_to_rotmat(quats)
@@ -131,6 +136,12 @@ class SplatTrainer:
         self._gt_cache: dict[int, tuple] = {}
         self._gt_cache_bytes = 0
         self.gt_cache_byte_budget = 2 << 30
+        # Per-instance jitted-fn cache. NOT functools.lru_cache on the
+        # methods: that keys a CLASS-level cache on (self, args) and pins
+        # dead trainers — with their device gt caches and compiled
+        # executables — until 16 newer entries evict them (the viewer
+        # builds a fresh trainer per loaded scene).
+        self._fn_cache: dict = {}
 
     # ------------------------------------------------------------------ #
 
@@ -203,7 +214,10 @@ class SplatTrainer:
         do_refine = (
             self.iter < cfg.max_refine_step
             and self.iter >= cfg.warmup_steps
-            and self.iter % cfg.refine_every == 1
+            # The 1 % trick keeps the reference cadence (iter % every == 1)
+            # while making refine_every=1 mean "every step" instead of
+            # silently never (iter % 1 == 1 is unsatisfiable).
+            and self.iter % cfg.refine_every == 1 % cfg.refine_every
         )
         self.last_refine_stats = None
         if do_refine:
@@ -224,9 +238,20 @@ class SplatTrainer:
             self._isect_pool = min(max(capacity * 16, 1 << 16), 1 << 22)
         return self._isect_pool
 
-    @functools.lru_cache(maxsize=16)
-    def _get_step_fn(self, capacity: int, img_size: tuple, channels: int,
-                     sh_count: int, max_isects: int):
+    def _get_step_fn(self, *key):
+        fn = self._fn_cache.get(("step", key))
+        if fn is None:
+            fn = self._fn_cache[("step", key)] = self._build_step_fn(*key)
+        return fn
+
+    def _get_refine_fn(self, *key):
+        fn = self._fn_cache.get(("refine", key))
+        if fn is None:
+            fn = self._fn_cache[("refine", key)] = self._build_refine_fn(*key)
+        return fn
+
+    def _build_step_fn(self, capacity: int, img_size: tuple, channels: int,
+                       sh_count: int, max_isects: int):
         cfg = self.config
         w, h = img_size
         ssim = self._ssim
@@ -303,9 +328,23 @@ class SplatTrainer:
     def _refine(self, state: TrainState, pre_splats: Splats):
         cfg = self.config
         cap = state.splats.capacity
+        # Pre-grow when clones+splits could exceed capacity: the refine's
+        # compaction silently truncates appended rows past `capacity`
+        # (while still counting them in the stats), and the post-refine
+        # growth below only helps the NEXT refine. Only the very first
+        # refine after a large init can hit this (afterwards the
+        # cap >= 2*n_live invariant holds).
+        n_before = int(np.asarray(state.splats.n_live))
+        if 2 * n_before > cap:
+            state = self._grow(state, 2 * n_before)
+            cap = state.splats.capacity
+            pre_splats = self._grow_splats(pre_splats, cap)
         self._key, sub = jax.random.split(self._key)
         refine_idx = self.iter // cfg.refine_every
-        do_reset = (refine_idx % cfg.reset_alpha_every_refine) == 0
+        # refine_idx > 0: with warmup <= 1 the first refine would land on
+        # refine_idx 0 and clobber every opacity at the start of training.
+        do_reset = (refine_idx % cfg.reset_alpha_every_refine) == 0 \
+            and refine_idx > 0
 
         refine_fn = self._get_refine_fn(cap, state.splats.sh_count, bool(do_reset))
         state, stats = refine_fn(state, pre_splats, sub)
@@ -347,6 +386,25 @@ class SplatTrainer:
             xy_grad_counts=cut(state.xy_grad_counts),
         )
 
+    def _grow_splats(self, sp: Splats, new_cap: int) -> Splats:
+        """Pad a bare Splats to new_cap (same fills as _grow)."""
+        pad = new_cap - sp.capacity
+        if pad <= 0:
+            return sp
+
+        def pad_arr(x, fill=0.0):
+            pads = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pads, constant_values=fill)
+
+        return Splats(
+            means=pad_arr(sp.means),
+            sh_coeffs=pad_arr(sp.sh_coeffs),
+            quats=pad_arr(sp.quats).at[sp.capacity:, 0].set(1.0),
+            raw_opacity=pad_arr(sp.raw_opacity, PADDING_RAW_OPACITY),
+            log_scales=pad_arr(sp.log_scales, -10.0),
+            n_live=sp.n_live,
+        )
+
     def _grow(self, state: TrainState, new_cap: int) -> TrainState:
         from brush_tpu.splats import round_up_capacity
 
@@ -381,8 +439,7 @@ class SplatTrainer:
             xy_grad_counts=pad_arr(state.xy_grad_counts).astype(jnp.int32),
         )
 
-    @functools.lru_cache(maxsize=16)
-    def _get_refine_fn(self, capacity: int, sh_count: int, do_reset: bool):
+    def _build_refine_fn(self, capacity: int, sh_count: int, do_reset: bool):
         return jax.jit(make_refine_fn(self.config, capacity, do_reset))
 
 

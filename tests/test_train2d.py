@@ -158,8 +158,15 @@ def test_capacity_shrinks_after_mass_prune():
     size = 32
     target = synthetic_target(size)
     cam = toy_camera(size)
+    # densify_grad_thresh=inf: this test is about PRUNING transparent
+    # splats; clones/splits of the 40 opaque ones would rebuild the count.
+    # (Before the refine_idx > 0 reset guard, the first refine reset ALL
+    # opacities to 0.004 — despite reset_alpha_every_refine=1e9 asking for
+    # none — and the second refine then pruned everything below 0.005,
+    # which is what this test accidentally measured.)
     config = TrainConfig(warmup_steps=0, refine_every=2,
-                         reset_alpha_every_refine=10**9)
+                         reset_alpha_every_refine=10**9,
+                         densify_grad_thresh=float("inf"))
     rng = np.random.default_rng(0)
     splats = from_random(rng, [-2, -2, -2], [2, 2, 2], count=900,
                          sh_degree=0, capacity=1024)
