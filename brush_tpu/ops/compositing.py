@@ -11,10 +11,10 @@ vector math over (P pixels x K splats) blocks:
   along the splat axis — a parallel prefix scan instead of a serial loop.
 - The early-out becomes a mask: T is monotone non-increasing, so the set of
   splats composited before T <= 1e-4 is a prefix, recoverable from the scan.
-- The backward "buffer" of color accumulated behind each splat
-  (rasterize_backwards.wgsl:253-257) becomes a suffix sum: S_total - prefix.
-- Per-splat gradient accumulation over pixels is a (K x P) @ (P x c)
-  contraction instead of subgroup reductions + CAS loops.
+- Gradients come from JAX autodiff of this forward (the backward "buffer"
+  of rasterize_backwards.wgsl:253-257 emerges as the transpose of the
+  prefix scan; the tiled/Pallas paths hand-derive it where autodiff
+  cannot reach).
 
 These blocks are exact re-derivations of the reference formulas; the
 accumulation *strategy* is the only thing that changed. One deliberate
@@ -64,99 +64,32 @@ def _alpha_terms(pix: jnp.ndarray, blk: SplatBlock):
 class CompositeCarry(NamedTuple):
     log_t: jnp.ndarray  # (P,) log transmittance so far
     rgb: jnp.ndarray    # (P, 3) accumulated color
+    alive: jnp.ndarray  # (P,) f32 1.0 until the early-out crossed (sticky)
 
 
 def composite_fwd_block(pix: jnp.ndarray, carry: CompositeCarry, blk: SplatBlock):
-    """Composite one block of splats front-to-back over P pixels."""
+    """Composite one block of splats front-to-back over P pixels.
+
+    The early-out must be STICKY across blocks (the reference's `done`
+    flag, rasterize.wgsl:87-90): the crossing splat's log1p(-alpha) is
+    excluded from the carried log_t, so the carry alone sits just above
+    the threshold and a later block's small-alpha splats would revive the
+    pixel — the same divergence class the Pallas kernels fixed with an
+    explicit alive carry. Within one block the cumsum is monotone, so the
+    active set is a prefix and a block-level flag suffices.
+    """
     alpha, _, _ = _alpha_terms(pix, blk)
     log_one_minus = jnp.log1p(-alpha)                    # 0 for non-contributors
     csum = jnp.cumsum(log_one_minus, axis=1)
     log_t_after = carry.log_t[:, None] + csum
     # Prefix of splats composited before the early-out (monotone in depth).
-    act = log_t_after > LOG_T_EPS
+    act = (log_t_after > LOG_T_EPS) & (carry.alive[:, None] > 0.0)
     t_before = jnp.exp(log_t_after - log_one_minus)
     fac = alpha * t_before * act
     rgb = carry.rgb + fac @ blk.color
     log_t = carry.log_t + jnp.sum(log_one_minus * act, axis=1)
-    return CompositeCarry(log_t=log_t, rgb=rgb)
-
-
-class BackwardCarry(NamedTuple):
-    log_t: jnp.ndarray   # (P,)
-    s_pref: jnp.ndarray  # (P,) prefix of (color . v_rgb) * fac
-
-
-class SplatGrads(NamedTuple):
-    """Per-splat gradients, shapes matching SplatBlock fields."""
-
-    v_xy: jnp.ndarray     # (K, 2)
-    v_conic: jnp.ndarray  # (K, 3)
-    v_color: jnp.ndarray  # (K, 3)
-    v_opac: jnp.ndarray   # (K,) gradient w.r.t. post-sigmoid opacity
-
-
-def composite_bwd_block(
-    pix: jnp.ndarray,
-    carry: BackwardCarry,
-    blk: SplatBlock,
-    v_rgb: jnp.ndarray,     # (P, 3) output-color cotangent
-    v_alpha_out: jnp.ndarray,  # (P,) output-alpha cotangent
-    s_total: jnp.ndarray,   # (P,) total (color . v_rgb) * fac over all splats
-    t_final: jnp.ndarray,   # (P,) final transmittance
-):
-    """Gradient of one composited block (rasterize_backwards.wgsl:244-270).
-
-    v_alpha = (c . v_rgb) T_before - (color behind) . v_rgb / (1-a)
-              + T_final / (1-a) * v_out.a
-    v_sigma = -opac * vis * v_alpha
-    followed by the quadratic-form chain to xy / conic. The color behind a
-    splat is S_total minus the inclusive prefix at that splat.
-    """
-    alpha, vis, delta = _alpha_terms(pix, blk)
-    log_one_minus = jnp.log1p(-alpha)
-    csum = jnp.cumsum(log_one_minus, axis=1)
-    log_t_after = carry.log_t[:, None] + csum
-    act = log_t_after > LOG_T_EPS
-    t_before = jnp.exp(log_t_after - log_one_minus)
-    fac = alpha * t_before * act
-
-    cw = v_rgb @ blk.color.T                      # (P, K) color . v_rgb
-    contrib = cw * fac
-    s_upto = carry.s_pref[:, None] + jnp.cumsum(contrib, axis=1)
-    ra = 1.0 / (1.0 - alpha)
-    v_alpha = act * (
-        cw * t_before
-        - (s_total[:, None] - s_upto) * ra
-        + t_final[:, None] * ra * v_alpha_out[:, None]
-    )
-    v_sigma = -blk.opac[None, :] * vis * v_alpha
-
-    dx, dy = delta[..., 0], delta[..., 1]
-    cx, cy, cz = blk.conic[:, 0], blk.conic[:, 1], blk.conic[:, 2]
-    v_xy = jnp.stack(
-        [
-            jnp.sum(v_sigma * (cx * dx + cy * dy), axis=0),
-            jnp.sum(v_sigma * (cy * dx + cz * dy), axis=0),
-        ],
-        axis=-1,
-    )
-    v_conic = jnp.stack(
-        [
-            jnp.sum(v_sigma * 0.5 * dx * dx, axis=0),
-            jnp.sum(v_sigma * dx * dy, axis=0),
-            jnp.sum(v_sigma * 0.5 * dy * dy, axis=0),
-        ],
-        axis=-1,
-    )
-    v_color = fac.T @ v_rgb                       # (K, 3)
-    v_opac = jnp.sum(vis * v_alpha * act, axis=0)
-
-    new_carry = BackwardCarry(
-        log_t=carry.log_t + jnp.sum(log_one_minus * act, axis=1),
-        s_pref=carry.s_pref + jnp.sum(contrib, axis=1),
-    )
-    grads = SplatGrads(v_xy=v_xy, v_conic=v_conic, v_color=v_color, v_opac=v_opac)
-    return new_carry, grads
+    alive = carry.alive * (log_t_after[:, -1] > LOG_T_EPS)
+    return CompositeCarry(log_t=log_t, rgb=rgb, alive=alive)
 
 
 def composite_pixels(
@@ -187,7 +120,8 @@ def composite_pixels(
         valid=pad0(valid).reshape(-1, block_size),
     )
     p = pix.shape[0]
-    init = CompositeCarry(log_t=jnp.zeros((p,)), rgb=jnp.zeros((p, 3)))
+    init = CompositeCarry(log_t=jnp.zeros((p,)), rgb=jnp.zeros((p, 3)),
+                          alive=jnp.ones((p,)))
 
     def step(carry, blk):
         return composite_fwd_block(pix, carry, blk), None

@@ -42,6 +42,11 @@ def save_checkpoint(path: str, state: TrainState, step: int, key=None,
     arrays["xy_grad_counts"] = np.asarray(state.xy_grad_counts)
     if key is not None:
         arrays["rng_key"] = np.asarray(jax.random.key_data(key))
+    # np.savez appends ".npz" when missing while the JSON sidecar used the
+    # raw path — saving to "ckpt_1" then loading it silently lost step and
+    # config (resume restarted the LR/refine schedule from 0). Normalize.
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"
     np.savez(path, **arrays)
 
     meta = {"step": int(step), "format_version": 1}
@@ -53,6 +58,8 @@ def save_checkpoint(path: str, state: TrainState, step: int, key=None,
 
 def load_checkpoint(path: str):
     """Returns (TrainState, step, rng_key_or_None, config_dict_or_None)."""
+    if not str(path).endswith(".npz"):
+        path = str(path) + ".npz"  # mirror save_checkpoint's normalization
     z = np.load(path)
     splats = Splats(
         n_live=jnp.asarray(z["n_live"]),

@@ -81,10 +81,16 @@ class RenderService:
         # The reference's display path: RGBA8 packed into u32 words.
         packed = np.asarray(pack_rgba_u32(img))
         rgba = packed.view(np.uint8).reshape(packed.shape[0], packed.shape[1], 4)
-        # Composite over the viewer's dark background for display.
+        # Composite over the viewer's dark background for display. The
+        # rasterizer output is alpha-PREMULTIPLIED (rgb = sum a_i T_i c_i),
+        # so over-compositing is rgb + bg*(1-a) — multiplying by a again
+        # would square the alpha weighting and darken every semi-
+        # transparent region.
         a = rgba[..., 3:4].astype(np.float32) / 255.0
         bg = 24.0
-        rgb = (rgba[..., :3].astype(np.float32) * a + bg * (1 - a)).astype(np.uint8)
+        rgb = np.clip(
+            rgba[..., :3].astype(np.float32) + bg * (1 - a), 0, 255
+        ).astype(np.uint8)
         return _png_bytes(rgb)
 
 

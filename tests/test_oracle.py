@@ -156,3 +156,39 @@ def test_gradients_finite_difference():
             assert abs(fd - ad) < 2e-3 + 0.05 * abs(fd), (
                 f"{key}[{idx}]: fd={fd:.6f} ad={ad:.6f}"
             )
+
+
+def test_compositing_early_out_sticky_across_blocks():
+    """Once T crosses 1e-4 the pixel is DONE (the reference's `done` flag,
+    rasterize.wgsl:87-90). The crossing splat's log1p(-alpha) is excluded
+    from the carried log T, so without a sticky alive carry the next
+    BLOCK's small-alpha splats would revive the pixel."""
+    import jax.numpy as jnp
+
+    from brush_tpu.ops.compositing import composite_pixels
+
+    # 6 splats dead-center on one pixel: three 0.9s and a 0.99 drive T to
+    # ~1e-4 * ... below threshold inside block 0 (block_size=4); block 1
+    # holds a bright red 0.5 splat that must NOT composite.
+    n = 6
+    xy = jnp.zeros((n, 2))
+    conic = jnp.tile(jnp.asarray([[1.0, 0.0, 1.0]]), (n, 1))
+    color = jnp.zeros((n, 3)).at[4:].set(jnp.asarray([1.0, 0.0, 0.0]))
+    opac = jnp.asarray([0.9, 0.9, 0.9, 0.99, 0.5, 0.5])
+    valid = jnp.ones((n,), bool)
+    pix = jnp.zeros((1, 2))
+
+    out = composite_pixels(pix, xy, conic, color, opac, valid, block_size=4)
+
+    # Serial reference loop (rasterize.wgsl:80-101 semantics).
+    t = 1.0
+    rgb = 0.0
+    for a in [0.9, 0.9, 0.9, 0.99, 0.5, 0.5]:
+        test_t = t * (1.0 - a)
+        if test_t <= 1e-4:
+            break
+        red = a * t if a == 0.5 else 0.0
+        rgb += red
+        t = test_t
+    np.testing.assert_allclose(float(out[0, 0]), rgb, atol=1e-6)
+    assert float(out[0, 0]) == 0.0, "revived pixel composited red"
