@@ -33,16 +33,29 @@ DENSITIES = [0.1, 1.0]
 FULL_DENSITIES = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]
 
 
-def _median_time(fn, args, sync, iters=12):
+def _log(msg):
+    # Progress to stderr: compiles through the axon tunnel take minutes per
+    # executable, and stdout must stay a single JSON line for the driver.
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _median_time(fn, args, sync, iters=12, name=""):
+    t0 = time.perf_counter()
     out = fn(*args)
     sync(out)
+    if name:
+        _log(f"{name}: compile+first {time.perf_counter() - t0:.1f}s")
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
         sync(out)
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2]
+    dt = sorted(times)[len(times) // 2]
+    if name:
+        _log(f"{name}: median {dt * 1e3:.2f} ms")
+    return dt
 
 
 def main():
@@ -141,7 +154,7 @@ def main():
 
     # --- headline: fwd + train step at 1M splats, 1024^2 ---
     args_full = args_at(1.0)
-    dt_fwd = _median_time(make_fwd((hi_res, hi_res), 1.0), args_full, sync_img)
+    dt_fwd = _median_time(make_fwd((hi_res, hi_res), 1.0), args_full, sync_img, name="fwd_headline")
     mpix_per_s = hi_res * hi_res / 1e6 / dt_fwd
 
     # Inference-mode forward (the reference's fwd-only u32 raster,
@@ -162,7 +175,7 @@ def main():
             )
             return img, aux.num_dropped
 
-        dt_infer = _median_time(fwd_infer, args_full, sync_img)
+        dt_infer = _median_time(fwd_infer, args_full, sync_img, name="fwd_infer")
 
     params = jax.device_put(splats.params())
     opt = init_adam(params)
@@ -174,7 +187,8 @@ def main():
         return loss
 
     dt_train = _median_time(
-        lambda: (step_once(),), (), lambda out: np.asarray(out[0])
+        lambda: (step_once(),), (), lambda out: np.asarray(out[0]),
+        name="train_step",
     )
 
     # --- matrix (render_bench.rs sweep corners; --full = all densities) ---
@@ -187,7 +201,7 @@ def main():
     def measure_point(key, img_size, d, pool_mult=1, mean_mult=1.0):
         a = args_at(d, mean_mult=mean_mult)
         fwd = make_fwd(img_size, d, pool_mult=pool_mult)
-        dt = _median_time(fwd, a, sync_img)
+        dt = _median_time(fwd, a, sync_img, name=key)
         matrix[key] = round(dt * 1e3, 2)
         dropped = int(np.asarray(fwd(*a)[1]))
         if dropped:
@@ -218,7 +232,8 @@ def main():
         return loss
 
     matrix[f"{lo_res}_d1.0_train"] = round(_median_time(
-        lambda: (step512(),), (), lambda out: np.asarray(out[0])
+        lambda: (step512(),), (), lambda out: np.asarray(out[0]),
+        name=f"{lo_res}_d1.0_train",
     ) * 1e3, 2)
 
     # --- stage buckets from jitted prefix ablations ---
@@ -237,10 +252,12 @@ def main():
         cp = camera_params(cam, (1024, 1024))  # stage ablation is fixed-config
         t_sort = _median_time(
             jax.jit(make_staged(cp, "sort")), args_full,
-            lambda out: np.asarray(jax.tree_util.tree_leaves(out)[0][:1]))
+            lambda out: np.asarray(jax.tree_util.tree_leaves(out)[0][:1]),
+            name="stage_sort")
         t_tile = _median_time(
             jax.jit(make_staged(cp, "tilesort")), args_full,
-            lambda out: np.asarray(jax.tree_util.tree_leaves(out)[0][:1]))
+            lambda out: np.asarray(jax.tree_util.tree_leaves(out)[0][:1]),
+            name="stage_tilesort")
         stages = {
             "prep_sort_ms": round(t_sort * 1e3, 2),
             "expand_tilesort_ms": round((t_tile - t_sort) * 1e3, 2),

@@ -10,6 +10,12 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r3_campaign
+# Persistent compile cache: axon compiles cost minutes each, and the tunnel
+# has died mid-campaign before — cache executables so re-runs resume fast.
+# (If the PJRT plugin can't serialize executables JAX logs and skips it.)
+export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/root/.cache/jax_comp}"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 mkdir -p $LOG
 PHASE="${1:-all}"
 
