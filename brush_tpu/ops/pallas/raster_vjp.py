@@ -151,6 +151,21 @@ def make_pallas_pipeline(
     assert tiles_x <= 1023, "image too wide for packed decode rows"
     assert num_tiles <= tiles_x * 2047, "image too tall for packed decode rows"
     assert max_isects <= 1 << 24, "slot offsets ride the expand matmul as u24"
+    # The raster kernels' scoped-VMEM stack scales with p x k_lanes (the
+    # per-batch (pixels, lanes) sigma/log-alpha/scan intermediates). The
+    # largest footprint proven on hardware is p=256 x k_lanes=1024 (~9 MB
+    # of the 16 MB scoped limit; 2x2 cells at k_lanes=512 hit 18.1 MB and
+    # failed to compile 2026-08-18). Clamp k_lanes so bigger cells trade
+    # batch width for pixel width instead of overflowing VMEM.
+    p_cell = 256 * cell[0] * cell[1]
+    budget = max(128, (256 * 1024) // p_cell)
+    budget = 1 << (budget.bit_length() - 1)  # power of two: pool stays % 0
+    k_lanes = min(k_lanes, budget)
+    # tiles_per_step unrolls the per-cell body, so its (p, k) intermediates
+    # stack additively per unrolled cell; it was fwd-neutral at 1x1
+    # (docs/PERFORMANCE.md round-2 table), so shrink it with cell area
+    # rather than overflow the stack.
+    tiles_per_step = max(1, (tiles_per_step * 256) // p_cell)
     assert max_isects % k_exp == 0 and max_isects % k_lanes == 0
 
     # numpy, not jnp: this closure is lru-cached across traces, and a jnp
