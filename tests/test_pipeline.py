@@ -261,6 +261,27 @@ def test_pipeline_cell_grouping_matches_single_tile(cell):
                            err_msg=f"cell {cell} fwd")
 
 
+def test_pipeline_cell_vmem_clamp_odd_cells():
+    """The scoped-VMEM clamp in make_pallas_pipeline floors k_lanes to a
+    POWER OF TWO: at cell (3, 1) the naive budget (256*1024)//768 = 341
+    would break the pool's max_isects %% k_lanes == 0 invariant (pools pad
+    to multiples of 512). Regression for the 2026-08-18 2x2 compile OOM
+    fix: the pipeline must build and run at non-power-of-two cell areas
+    with large k_lanes requests."""
+    from conftest import assert_close_quantized
+
+    model, cam = _scene(n=300, seed=5)
+    img_size = (80, 48)
+    img_1, _ = _render(model, cam, img_size, "pallas", block_size=128,
+                       max_isects=2048)
+    # block_size=512 requests k_lanes=512 >> the (3,1) budget of 341.
+    img_c, aux_c = _render(model, cam, img_size, "pallas", block_size=512,
+                           max_isects=2048, cell=(3, 1))
+    assert int(aux_c.num_dropped) == 0
+    assert_close_quantized(img_c, img_1, atol=2e-3, flip_tol=0.05,
+                           max_flip_frac=2e-3, err_msg="cell (3,1) clamp")
+
+
 def test_pipeline_cell_grouping_grads():
     from conftest import assert_close_quantized
 
