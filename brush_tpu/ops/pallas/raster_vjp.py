@@ -101,8 +101,8 @@ def _unpack_bf16_pair(u):
 def make_pallas_pipeline(
     tiles_x: int, num_tiles: int, max_isects: int, n: int,
     k_lanes: int = 512, k_exp: int = 512, raster_tiles: int | None = None,
-    interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
-    scan_passes: int = 3, pack_grad_sort: bool = False, cell=(1, 1),
+    interpret: bool = False, tiles_per_step: int = 8, n_buf: int = 6,
+    scan_passes: int = 2, pack_grad_sort: bool = False, cell=(1, 1),
     needs_grad: bool = True,
 ):
     """Full record pipeline as one custom-VJP function.
@@ -337,7 +337,10 @@ def make_pallas_pipeline(
             packed, g_img, log_t, fidx, starts, ends, tile_ids,
             tiles_x=tiles_x, num_tiles=raster_tiles, max_isects=max_isects,
             k_lanes=k_lanes, interpret=interpret, grads_init=grads_init,
-            tiles_per_step=tiles_per_step, n_buf=n_buf,
+            # The backward's VMEM stack (gbuf/zbuf/mbuf output ring) scales
+            # with both knobs; tps=4/n_buf=4 are its measured-best settings
+            # (round-2 table) while the fwd wants 8/6 (round-3 iso sweep).
+            tiles_per_step=min(tiles_per_step, 4), n_buf=min(n_buf, 4),
             scan_passes=scan_passes, cell=cell,
         )  # (16, max_isects + k_lanes), tile order
         # The pool is strip-local (every valid record belongs to this

@@ -41,8 +41,9 @@ from brush_tpu.ops.pallas.rasterize_fwd import (
     LANE_ALIGN,
     PACK_ROWS,
     _cumsum_lanes_mxu,
-    _pixel_basis,
+    _pixel_basis_a,
     _splat_basis,
+    _tile_center,
     unpack_record_rows,
 )
 
@@ -61,28 +62,30 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
         # strictly sequential within a step, so the cross-tile
         # leading-boundary merge keeps its ordering guarantee.
         step = pl.program_id(0)
+        # Tile-independent pixel bases: once per grid step, not per tile.
+        a_p = _pixel_basis_a(cell=cell)
+        px = a_p[:, 3:4]
+        py = a_p[:, 4:5]
+        one = a_p[:, 5:6]
+        zero = jnp.zeros_like(one)
+        # Pixel moment basis W: (P, 8) = [1, px, py, px^2, py^2, px*py, 0, 0].
+        w_mom = jnp.concatenate(
+            [one, px, py, a_p[:, 0:1], a_p[:, 1:2], a_p[:, 2:3], zero, zero], axis=1
+        )
         for g in range(tiles_per_step):
-            _run_tile(step * tiles_per_step + g, g,
+            _run_tile(step * tiles_per_step + g, g, a_p, w_mom,
                       starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                       vout_ref, logt_ref, fidx_ref, grads_hbm,
                       buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem)
 
-    def _run_tile(t, g, starts_ref, ends_ref, tile_ids_ref,
+    def _run_tile(t, g, a_p, w_mom, starts_ref, ends_ref, tile_ids_ref,
                   packed_hbm, vout_ref, logt_ref, fidx_ref,
                   grads_hbm,
                   buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem):
         start = starts_ref[t]
         end = ends_ref[t]
         base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
-        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x, cell=cell)
-        # Pixel moment basis W: (P, 8) = [1, px, py, px^2, py^2, px*py, 0, 0].
-        px = a_p[:, 3:4]
-        py = a_p[:, 4:5]
-        one = a_p[:, 5:6]
-        zero = jnp.zeros_like(one)
-        w_mom = jnp.concatenate(
-            [one, px, py, a_p[:, 0:1], a_p[:, 1:2], a_p[:, 2:3], zero, zero], axis=1
-        )
+        cx_t, cy_t = _tile_center(tile_ids_ref, t, tiles_x, cell=cell)
 
         v_out = vout_ref[g]                  # (P, 4)
         v_rgb = v_out[:, 0:3]                # (P, 3)

@@ -198,7 +198,7 @@ def _cumsum_lanes_mxu(x, k_lanes: int, passes: int = 3):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _pixel_basis(tile_ids_ref, t, tiles_x: int, cell=(1, 1)):
+def _pixel_basis_a(cell=(1, 1)):
     """A(p): (P, 8) pixel polynomial basis, in cell-local coords.
 
     Coordinates are relative to the cell center: |px|,|py| <= 8*g. Keeping
@@ -206,30 +206,38 @@ def _pixel_basis(tile_ids_ref, t, tiles_x: int, cell=(1, 1)):
     form (absolute pixel coords would put px^2 ~ 1e6 against sigma ~ 1 in
     f32). The splat basis is shifted into the same frame per batch.
 
+    TILE-INDEPENDENT (cell-local coords): compute ONCE per grid step, not
+    per tile — the per-tile part is only the cell center (_tile_center).
+
     cell=(gw, gh): the grid step covers a raster cell of gw x gh tiles
-    (P = 256*gw*gh pixels); tiles_x is then the grid width IN CELLS.
-    Returns (A, center_x, center_y).
+    (P = 256*gw*gh pixels).
     """
     gw, gh = cell
     cw_px = TILE_WIDTH * gw
-    ch_px = TILE_WIDTH * gh
     p = TILE_SIZE * gw * gh
-    tid = tile_ids_ref[t]
-    tx = (tid % tiles_x).astype(jnp.float32)
-    ty = (tid // tiles_x).astype(jnp.float32)
     half_x = cw_px / 2.0
-    half_y = ch_px / 2.0
-    cx_t = tx * cw_px + half_x
-    cy_t = ty * ch_px + half_y
+    half_y = (TILE_WIDTH * gh) / 2.0
     k = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = (k % cw_px).astype(jnp.float32) + 0.5 - half_x
     py = (k // cw_px).astype(jnp.float32) + 0.5 - half_y
     one = jnp.ones_like(px)
     # (P, 8): [px^2, py^2, px*py, px, py, 1, 0, 0]
-    a = jnp.concatenate(
+    return jnp.concatenate(
         [px * px, py * py, px * py, px, py, one, 0.0 * one, 0.0 * one], axis=1
     )
-    return a, cx_t, cy_t
+
+
+def _tile_center(tile_ids_ref, t, tiles_x: int, cell=(1, 1)):
+    """Cell-center pixel coordinates of tile/cell `t` (scalar pair)."""
+    gw, gh = cell
+    cw_px = TILE_WIDTH * gw
+    ch_px = TILE_WIDTH * gh
+    tid = tile_ids_ref[t]
+    tx = (tid % tiles_x).astype(jnp.float32)
+    ty = (tid // tiles_x).astype(jnp.float32)
+    cx_t = tx * cw_px + cw_px / 2.0
+    cy_t = ty * ch_px + ch_px / 2.0
+    return cx_t, cy_t
 
 
 def _splat_basis(dec, center_x, center_y):
@@ -264,19 +272,20 @@ def _make_kernel(tiles_x: int, k_lanes: int,
         # block switching, setup) over several tiles; each tile's work is
         # unchanged and runs sequentially within the step.
         b = pl.program_id(0)
+        a_p = _pixel_basis_a(cell=cell)  # tile-independent: once per step
         for g in range(tiles_per_step):
-            _run_tile(b * tiles_per_step + g, g,
+            _run_tile(b * tiles_per_step + g, g, a_p,
                       starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                       img_ref, logt_ref, fidx_ref, buf, sem)
 
-    def _run_tile(t, g, starts_ref, ends_ref, tile_ids_ref, packed_hbm,
+    def _run_tile(t, g, a_p, starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                   img_ref, logt_ref, fidx_ref, buf, sem):
         # Tile ranges are arbitrary (unaligned tile_bins); DMA windows snap
         # down to the lane-tiling boundary and masks cut the leading lanes.
         start = starts_ref[t]
         end = ends_ref[t]
         base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
-        a_p, cx_t, cy_t = _pixel_basis(tile_ids_ref, t, tiles_x, cell=cell)
+        cx_t, cy_t = _tile_center(tile_ids_ref, t, tiles_x, cell=cell)
 
         num_batches = jnp.where(
             end > start, pl.cdiv(end - base, k_lanes), 0
@@ -403,8 +412,8 @@ def _make_kernel(tiles_x: int, k_lanes: int,
 def rasterize_fwd_pallas(
     packed, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
-    interpret: bool = False, tiles_per_step: int = 4, n_buf: int = 4,
-    scan_passes: int = 3, cell=(1, 1),
+    interpret: bool = False, tiles_per_step: int = 8, n_buf: int = 6,
+    scan_passes: int = 2, cell=(1, 1),
 ):
     """Forward rasterize. Returns (img (T,P,4), log_t (T,P), final_idx (T,P)).
 

@@ -134,7 +134,7 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
 
 
 def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
-                   max_isects, k_lanes, interpret, scan_passes=3,
+                   max_isects, k_lanes, interpret, scan_passes=2,
                    pack_grad_sort=False, cell=(1, 1), needs_grad=True):
     """TPU record pipeline (see ops/pallas/raster_vjp.py).
 
@@ -193,7 +193,7 @@ def render_splats(
     max_isects: int | None = None,
     block_size: int = 32,
     backend: str = "auto",
-    scan_passes: int = 3,
+    scan_passes: int = 2,
     pack_grad_sort: bool = False,
     cell: tuple = (1, 1),
     needs_grad: bool = True,
