@@ -99,13 +99,12 @@ def _amortized_time(fn, args, sync, batch=8, iters=5, name=""):
 
 def _dispatch_const(jax, jnp, np):
     """Measured per-sync tunnel constant: trivial jitted kernel, synced."""
-    import jax as _jax
 
-    @_jax.jit
+    @jax.jit
     def triv(x):
         return x[:1] + 1.0
 
-    x = _jax.device_put(jnp.zeros((8,), jnp.float32))
+    x = jax.device_put(jnp.zeros((8,), jnp.float32))
     out = triv(x)
     np.asarray(out)
     times = []
@@ -340,6 +339,14 @@ def main():
                 "value": round(mpix_per_s, 2),
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_per_s / 1000.0, 3),
+                # Headline timing methodology, versioned so round-over-round
+                # comparisons can tell a methodology change from a speedup:
+                # v1 (rounds 1-2) = per-call-synced latency (now
+                # fwd_ms_synced); v2 (round 3+) = amortized batch-8 async
+                # dispatch, one sync (see _amortized_time) — the tunnel's
+                # ~27 ms per-sync constant (dispatch_const_ms) is tunnel
+                # latency, not device time.
+                "methodology": "v2_amortized_batch8",
                 "fwd_ms": round(dt_fwd * 1e3, 2),
                 "fwd_ms_synced": round(dt_fwd_sync * 1e3, 2),
                 "dispatch_const_ms": round(dconst * 1e3, 2),

@@ -244,7 +244,7 @@ def _splat_basis(dec, center_x, center_y):
     """B(s): (8, K) splat quadratic coefficients from decoded record rows.
 
     dec: the 9-tuple from unpack_record_rows. Splat centers are shifted into
-    the tile-local frame (see _pixel_basis).
+    the tile-local frame (see _pixel_basis_a / _tile_center).
     """
     x = dec[0] - center_x
     y = dec[1] - center_y

@@ -206,7 +206,11 @@ def render_splats(
     platforms, xla on CPU).
     scan_passes / pack_grad_sort / cell are pallas-path perf knobs (see
     ops/pallas/rasterize_fwd._cumsum_lanes_mxu and
-    raster_vjp.make_pallas_pipeline); the defaults are exact.
+    raster_vjp.make_pallas_pipeline). The default scan_passes=2 truncates
+    the in-kernel log-T scan input to 16 mantissa bits — lossy but bounded
+    (<= 2^-16 relative on log T; measured 2e-7 image delta at the bench
+    config); scan_passes=3 recovers exactness. pack_grad_sort defaults
+    off (exact); cell=(1, 1) is exact.
     cell=(gw, gh) rasterizes in cells of gw x gh tiles: one record per
     splat x cell shrinks every pool-scale stage by the multi-tile-coverage
     factor at the cost of sweeping 256*gw*gh pixels per record.

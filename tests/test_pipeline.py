@@ -187,9 +187,12 @@ def test_pipeline_perf_variants_match_baseline():
 
     args = (model.means, model.log_scales, model.quats, model.sh_coeffs,
             model.raw_opacity)
+    # The baselines must be the EXACT pipeline: scan_passes defaults to 2
+    # since round 3, so without the explicit 3 these would self-compare
+    # against the lossy variant and bound nothing (r3 advisor finding).
     img_base, _ = _render(model, cam, img_size, "pallas", block_size=128,
-                          max_isects=2048)
-    g_base = jax.grad(loss(), argnums=(0, 1, 2, 3, 4))(*args)
+                          max_isects=2048, scan_passes=3)
+    g_base = jax.grad(loss(scan_passes=3), argnums=(0, 1, 2, 3, 4))(*args)
 
     # scan_passes=2: forward truncation <= 2^-16 relative on log T — far
     # inside the quantized-image tolerance.
@@ -198,9 +201,11 @@ def test_pipeline_perf_variants_match_baseline():
     assert_close_quantized(img_s2, img_base, err_msg="scan_passes=2 fwd")
 
     # pack_grad_sort: v_xy / v_opac exact, conic+color grads rounded to
-    # bf16 per record before the per-splat sum.
-    g_pk = jax.grad(loss(pack_grad_sort=True), argnums=(0, 1, 2, 3, 4))(
-        *args)
+    # bf16 per record before the per-splat sum (scan_passes=3 isolates the
+    # packing error from the scan truncation).
+    g_pk = jax.grad(
+        loss(pack_grad_sort=True, scan_passes=3), argnums=(0, 1, 2, 3, 4)
+    )(*args)
     names = ["means", "log_scales", "quats", "sh", "opac"]
     for name, a, b in zip(names, g_pk, g_base):
         a, b = np.asarray(a), np.asarray(b)
