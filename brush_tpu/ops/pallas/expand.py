@@ -20,10 +20,16 @@ what the hardware is good at:
   over 24 f32 rows: half the MXU tile-work, one matmul issue, and the
   hi/mid/lo splitting moves out of the kernel's critical path (windows
   overlap ~1.5x, so in-kernel splitting also duplicated work).
-- the one-hot comes from ONE compare: sublane iota vs the slot's compact
-  splat id (a monotone (1, max_isects) i32 array built in XLA with one
-  scatter-add + cumsum, the same segment trick the reference gets from its
-  exclusive-scan offsets in map_gaussian_to_intersects.wgsl:33-47).
+- the one-hot comes from TWO compares against the splat OFFSET column:
+  oh[w, k] = offsets[w] <= slot_k < offsets[w+1] (the same exclusive-scan
+  segment trick the reference reads in map_gaussian_to_intersects.wgsl:33-47).
+  Round 3 instead built a (1, max_isects) slot->splat array in XLA with one
+  N-index scatter-add + a pool-scale cumsum — measured at several ms of the
+  forward (~20 ns/index scatters); deriving ownership in-kernel from the
+  (W, 1) offset windows costs two vector compares per block and kills that
+  whole XLA stage. The slot's compact splat id (record row 7, the
+  backward's re-sort key) comes out of the SAME one-hot matmul via three
+  static iota-split component rows (rows 40-42).
 - the rank -> tile decode (select the rank-th set bit of the splat's exact
   coverage bitmask, ops/binning.py pretest) runs on (1, K) lane vectors —
   a few hundred VPU ops per block. Byte popcounts are computed in-kernel
@@ -80,8 +86,12 @@ def build_comp_rows(x, y, cxx, cxy, cyy, colop0, colop1,
     Inputs are (n,) arrays in depth-compact order: f32 x/y/conic, packed u32
     color pairs (quantize_color/quantize_opac halves), u32 tile-decode
     fields (bws = bbox_w | small << 10), u32 mask halves, i32 slot offsets.
+    Rows 40-42 carry the compact splat INDEX (a static iota, u24-split), so
+    the one-hot matmul also delivers each slot's splat id — record row 7.
     """
     m16 = jnp.uint32(0xFFFF)
+    n = x.shape[0]
+    idx = jnp.arange(n_pad, dtype=jnp.int32)
     rows = (
         _split_f32(x) + _split_f32(y)
         + _split_f32(cxx) + _split_f32(cxy) + _split_f32(cyy)
@@ -94,7 +104,10 @@ def build_comp_rows(x, y, cxx, cxy, cyy, colop0, colop1,
     )
     assert len(rows) == 40
     comps = jnp.stack(rows, axis=0)
-    comps = jnp.pad(comps, ((0, COMP_ROWS - 40), (0, n_pad - x.shape[0])))
+    comps = jnp.pad(comps, ((0, 0), (0, n_pad - n)))
+    comps = jnp.concatenate([comps, jnp.stack(_split_u24(idx), axis=0)],
+                            axis=0)
+    comps = jnp.pad(comps, ((0, COMP_ROWS - 43), (0, 0)))
     return comps
 
 
@@ -167,9 +180,9 @@ def _floor_div_lanes(a_int, b_int):
 def _make_expand_kernel(tiles_x: int, num_tiles: int,
                         n: int, k_exp: int, window: int, num_blocks: int,
                         n_buf: int = 4):
-    def kernel(s_lo_ref, total_ref, comps_hbm, splat_hbm,
+    def kernel(s_lo_ref, total_ref, comps_hbm, offs_hbm,
                key_ref, out_ref,
-               abuf, sbuf, sem,
+               abuf, obuf_lo, obuf_hi, sem,
                ):
         b = pl.program_id(0)
         total = total_ref[0]
@@ -185,8 +198,12 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
                     abuf.at[slot_idx], sem.at[slot_idx, 0],
                 ),
                 pltpu.make_async_copy(
-                    splat_hbm.at[:, pl.ds(blk * k_exp, k_exp)],
-                    sbuf.at[slot_idx], sem.at[slot_idx, 1],
+                    offs_hbm.at[pl.ds(s, window)],
+                    obuf_lo.at[slot_idx], sem.at[slot_idx, 1],
+                ),
+                pltpu.make_async_copy(
+                    offs_hbm.at[pl.ds(s + 1, window)],
+                    obuf_hi.at[slot_idx], sem.at[slot_idx, 2],
                 ),
             )
 
@@ -221,15 +238,17 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             for c in dma(b % n_buf, b):
                 c.wait()
             comps_w = abuf[b % n_buf]                          # (48, W) bf16
-            s_al = pl.multiple_of(s_lo_ref[b], WINDOW_ALIGN)
-            local = sbuf[b % n_buf] - s_al                     # (1, K) i32
 
-            # One-hot slot->splat selector from ONE compare: window sublane
-            # iota vs the slot's window-local compact splat id. Exact in
-            # bf16 (single 1 per column), so ONE matmul over the pre-split
-            # component rows reconstructs every field exactly.
-            sub = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
-            oh = (sub == local).astype(jnp.bfloat16)           # (W, K)
+            # One-hot slot->splat selector from TWO compares against the
+            # offset column: window splat w owns slot k iff
+            # offs[w] <= k < offs[w+1]. Producing splats are the dense
+            # depth-order prefix, so ranges partition [0, total) — exactly
+            # one 1 per live column; exact in bf16, so ONE matmul over the
+            # pre-split component rows reconstructs every field exactly
+            # (including the splat id from the iota rows 40-42).
+            off_lo = obuf_lo[b % n_buf]                        # (W, 1) i32
+            off_hi = obuf_hi[b % n_buf]
+            oh = ((off_lo <= slots) & (slots < off_hi)).astype(jnp.bfloat16)
             dn = (((1,), (0,)), ((), ()))
             out = jax.lax.dot_general(
                 comps_w, oh, dn, preferred_element_type=jnp.float32
@@ -246,7 +265,10 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             m3 = _c2i(out, 35)
             bws = _c2i(out, 27)
             small = bws >= 1024
-            w_i = bws & 1023
+            # max(1): a slot with no owning splat (possible only past
+            # `total`) decodes all-zero fields; keep the float floor-div off
+            # 0/0 (the result is masked by `valid` either way).
+            w_i = jnp.maximum(bws & 1023, 1)
             pos = jnp.where(
                 small, _select_bit_lanes(m0, m1, m2, m3, rank), rank
             )
@@ -264,7 +286,9 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             u = lambda v: v.astype(jnp.int32).astype(jnp.uint32)
             colop0 = u(_c2(out, 15)) | (u(_c2(out, 17)) << 16)
             colop1 = u(_c2(out, 19)) | (u(_c2(out, 21)) << 16)
-            splat = jnp.where(valid, sbuf[b % n_buf], n).astype(jnp.uint32)
+            sid = (out[40:41] * 65536.0 + out[41:42] * 256.0
+                   + out[42:43]).astype(jnp.int32)
+            splat = jnp.where(valid, sid, n).astype(jnp.uint32)
             out_ref[:, :] = jnp.concatenate(
                 [bc(_c3(out, 0)), bc(_c3(out, 3)), bc(_c3(out, 6)),
                  bc(_c3(out, 9)), bc(_c3(out, 12)),
@@ -296,16 +320,21 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
     ),
 )
 def expand_pallas(
-    comps, splat_c, s_lo, total,
+    comps, offs_col, s_lo, total,
     tiles_x: int, num_tiles: int, n: int, max_isects: int,
     k_exp: int = 512, interpret: bool = False, n_buf: int = 4,
 ):
     """Expand depth-ordered splat rows into per-slot (key, record) arrays.
 
     comps: (COMP_ROWS, n_pad) bf16 — see build_comp_rows.
-    splat_c: (1, max_isects) i32 — compact splat id per slot (monotone).
+    offs_col: (n_pad + 8, 1) i32 — exclusive slot-offset per compact splat
+      (cumsum(counts) - counts), padded past n with a large sentinel.
+      Replaces round 3's (1, max_isects) slot->splat array: slot ownership
+      is derived in-kernel from offs_col windows (see _make_expand_kernel),
+      killing the XLA scatter-add + pool-scale cumsum that built it.
     s_lo: (num_blocks,) i32 — WINDOW_ALIGN-aligned splat-window start per
-      slot block (= splat_c at the block's first slot, rounded down).
+      slot block (the block's first slot's owning splat, rounded down;
+      searchsorted(cum, block_starts) in raster_vjp).
     total: (1,) i32 — number of live slots.
 
     Returns (keys (max_isects,) uint32 tile ids,
@@ -315,7 +344,8 @@ def expand_pallas(
     window = k_exp + 2 * WINDOW_ALIGN
     assert comps.shape[0] == COMP_ROWS and comps.dtype == jnp.bfloat16
     assert comps.shape[1] >= window and comps.shape[1] % WINDOW_ALIGN == 0
-    assert splat_c.shape == (1, max_isects)
+    assert offs_col.shape == (comps.shape[1] + 8, 1), offs_col.shape
+    assert offs_col.dtype == jnp.int32
     num_blocks = max_isects // k_exp
     assert s_lo.shape == (num_blocks,)
 
@@ -336,8 +366,9 @@ def expand_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((n_buf, COMP_ROWS, window), jnp.bfloat16),
-            pltpu.VMEM((n_buf, 1, k_exp), jnp.int32),
-            pltpu.SemaphoreType.DMA((n_buf, 2)),
+            pltpu.VMEM((n_buf, window, 1), jnp.int32),
+            pltpu.VMEM((n_buf, window, 1), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_buf, 3)),
         ],
     )
     keys, recs = pl.pallas_call(
@@ -348,5 +379,5 @@ def expand_pallas(
             jax.ShapeDtypeStruct((PACK_ROWS, max_isects), jnp.uint32),
         ],
         interpret=interpret,
-    )(s_lo, total, comps, splat_c)
+    )(s_lo, total, comps, offs_col)
     return keys[0], recs

@@ -241,20 +241,26 @@ def make_pallas_pipeline(
             m_lo, m_hi, offsets, n_pad,
         )
 
-        # Slot -> compact splat id: one scatter-add at segment starts +
-        # cumsum (producing splats are the depth-order prefix, so the
-        # running count of starts IS the compact index).
-        scatter_idx = jnp.where(counts_i > 0, offsets, max_isects)
-        marks = jnp.zeros((max_isects,), jnp.int32).at[scatter_idx].add(
-            1, mode="drop"
-        )
-        splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)[None, :]
-        s_lo = (splat_c[0, ::k_exp] // WINDOW_ALIGN) * WINDOW_ALIGN
-        s_lo = jnp.clip(s_lo, 0, n_pad - window)
+        # Slot ownership for the expand/segsum kernels: the exclusive
+        # offset column (padded past n with a big sentinel so pad rows own
+        # nothing) and per-block window starts from ONE small searchsorted
+        # (the block's first slot's owning splat). Round 3 built a
+        # (1, max_isects) slot->splat array with an N-index scatter-add +
+        # pool-scale cumsum instead — measured at ~7 ms of the forward; the
+        # kernels now derive ownership from offs_col windows in two vector
+        # compares (see expand.py docstring).
+        offs_col = jnp.concatenate([
+            offsets.astype(jnp.int32),
+            jnp.full((n_pad + 8 - n,), 1 << 30, jnp.int32),
+        ])[:, None]
+        starts_blk = jnp.arange(max_isects // k_exp, dtype=jnp.int32) * k_exp
+        w0 = jnp.searchsorted(cum, starts_blk, side="right").astype(jnp.int32)
+        s_lo = jnp.clip((w0 // WINDOW_ALIGN) * WINDOW_ALIGN, 0,
+                        n_pad - window)
 
         # --- expansion (MapGaussiansToIntersect) ---
         keys, recs = expand_pallas(
-            comps, splat_c, s_lo, total,
+            comps, offs_col, s_lo, total,
             tiles_x=tiles_x, num_tiles=num_tiles,
             n=n, max_isects=max_isects, k_exp=k_exp, interpret=interpret,
         )
@@ -305,7 +311,7 @@ def make_pallas_pipeline(
             scan_passes=scan_passes, cell=cell,
         )
         res = (packed, starts, ends, tile_ids, log_t, fidx,
-               splat_c, s_lo, total, order)
+               offs_col, s_lo, total, order)
         return img, order, total[0], raw_total, res
 
     @jax.custom_vjp
@@ -323,7 +329,7 @@ def make_pallas_pipeline(
 
     def raster_bwd(res, g):
         (packed, starts, ends, tile_ids, log_t, fidx,
-         splat_c, s_lo, total, order) = res
+         offs_col, s_lo, total, order) = res
         g_img = g[0]
         grads_init = None
         if DEBUG_GRAD_POOL_FILL is not None:
@@ -391,7 +397,7 @@ def make_pallas_pipeline(
 
         # --- per-splat reduction on the MXU ---
         per_splat = segment_sum_pallas(
-            grads_slot, splat_c, s_lo, total,
+            grads_slot, offs_col, s_lo, total,
             n_pad=n_pad, max_isects=max_isects, k_seg=k_exp,
             interpret=interpret,
         )  # (16, n_pad), compact order

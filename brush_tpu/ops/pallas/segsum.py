@@ -9,10 +9,13 @@ the expansion kernel (ops/pallas/expand.py), run in reverse:
 once gradient records are ordered by expansion slot, records of one splat
 are contiguous (slots are segment-ordered by construction), so a block of K
 records touches a contiguous window of <= K+1 splats, and the per-splat sums
-are ONE one-hot matmul on the MXU: partial[w] = sum_k grads[:, k] * (splat_k
-== w). Blocks accumulate into an aliased output buffer; the grid is
-sequential and writes are synchronous, so boundary splats shared between
-adjacent blocks read-modify-write without races.
+are ONE one-hot matmul on the MXU: partial[w] = sum_k grads[:, k] *
+(offs[w] <= slot_k < offs[w+1]) — ownership derived in-kernel from the
+splat-offset column exactly as in the expand kernel (round 3 carried a
+scatter+cumsum-built slot->splat array instead; see expand.py docstring).
+Blocks accumulate into an aliased output buffer; the grid is sequential and
+writes are synchronous, so boundary splats shared between adjacent blocks
+read-modify-write without races.
 """
 
 from __future__ import annotations
@@ -31,9 +34,9 @@ SEG_ROWS = 16  # grad rows carried (9 used; padded for lane tiling)
 
 def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
                         n_buf: int = 4):
-    def kernel(s_lo_ref, total_ref, grads_hbm, splat_hbm, out_in_hbm,
+    def kernel(s_lo_ref, total_ref, grads_hbm, offs_hbm, out_in_hbm,
                out_hbm,
-               gbuf, sbuf, obuf, sem, osem):
+               gbuf, cbuf_lo, cbuf_hi, obuf, sem, osem):
         b = pl.program_id(0)
         total = total_ref[0]
         slot0 = b * k_seg
@@ -43,14 +46,19 @@ def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
         # windows overlap, so each block's accumulate must see the
         # previous block's write).
         def in_dma(slot, blk):
+            s = pl.multiple_of(s_lo_ref[blk], WINDOW_ALIGN)
             return (
                 pltpu.make_async_copy(
                     grads_hbm.at[:, pl.ds(blk * k_seg, k_seg)],
                     gbuf.at[slot], sem.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    splat_hbm.at[:, pl.ds(blk * k_seg, k_seg)],
-                    sbuf.at[slot], sem.at[slot, 1],
+                    offs_hbm.at[pl.ds(s, window)],
+                    cbuf_lo.at[slot], sem.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    offs_hbm.at[pl.ds(s + 1, window)],
+                    cbuf_hi.at[slot], sem.at[slot, 2],
                 ),
             )
 
@@ -73,17 +81,19 @@ def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
 
             s_al = pl.multiple_of(s_lo_ref[b], WINDOW_ALIGN)
             oin = pltpu.make_async_copy(
-                out_hbm.at[:, pl.ds(s_al, window)], obuf, sem.at[0, 2]
+                out_hbm.at[:, pl.ds(s_al, window)], obuf, sem.at[0, 3]
             )
             oin.start()
             for c in in_dma(b % n_buf, b):
                 c.wait()
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_seg), 1)
-            live = (slot0 + lane) < total                     # (1, K)
-            local = sbuf[b % n_buf] - s_al                    # (1, K)
-            sub = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0)
-            oh = ((sub == local) & live).astype(jnp.bfloat16)  # (W, K), exact
+            slots = slot0 + lane                              # (1, K)
+            live = slots < total                              # (1, K)
+            off_lo = cbuf_lo[b % n_buf]                       # (W, 1) i32
+            off_hi = cbuf_hi[b % n_buf]
+            oh = ((off_lo <= slots) & (slots < off_hi)
+                  & live).astype(jnp.bfloat16)                # (W, K), exact
 
             # 3 bf16 passes instead of HIGHEST's 6: the one-hot is exact in
             # bf16; the gradient rows split into three bf16 components whose
@@ -120,14 +130,15 @@ def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
     static_argnames=("n_pad", "max_isects", "k_seg", "interpret", "n_buf"),
 )
 def segment_sum_pallas(
-    grads, splat_c, s_lo, total,
+    grads, offs_col, s_lo, total,
     n_pad: int, max_isects: int, k_seg: int = 512, interpret: bool = False,
     n_buf: int = 4,
 ):
     """Sum slot-ordered gradient rows per splat.
 
     grads: (SEG_ROWS, max_isects) f32, slot order (zeroed beyond `total`).
-    splat_c: (1, max_isects) i32 — compact splat per slot (monotone).
+    offs_col: (n_pad + 8, 1) i32 — exclusive slot-offset per compact splat
+      (see expand_pallas; the same array serves both kernels).
     s_lo: (num_blocks,) i32 aligned window starts (k_seg blocks).
     Returns (SEG_ROWS, n_pad) per-compact-splat sums.
     """
@@ -137,6 +148,7 @@ def segment_sum_pallas(
     num_blocks = max_isects // k_seg
     assert s_lo.shape == (num_blocks,)
     assert grads.shape == (SEG_ROWS, max_isects)
+    assert offs_col.shape == (n_pad + 8, 1) and offs_col.dtype == jnp.int32
 
     kernel = _make_segsum_kernel(k_seg, window, num_blocks, n_buf=n_buf)
     zeros = jnp.zeros((SEG_ROWS, n_pad), jnp.float32)
@@ -151,9 +163,10 @@ def segment_sum_pallas(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((n_buf, SEG_ROWS, k_seg), jnp.float32),
-            pltpu.VMEM((n_buf, 1, k_seg), jnp.int32),
+            pltpu.VMEM((n_buf, window, 1), jnp.int32),
+            pltpu.VMEM((n_buf, window, 1), jnp.int32),
             pltpu.VMEM((SEG_ROWS, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_buf, 3)),
+            pltpu.SemaphoreType.DMA((n_buf, 4)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -164,5 +177,5 @@ def segment_sum_pallas(
         input_output_aliases={4: 0},  # indices include the scalar-prefetch args
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(s_lo, total, grads, splat_c, zeros)
+    )(s_lo, total, grads, offs_col, zeros)
     return out

@@ -41,17 +41,24 @@ MAX_ISECTS = 2162688  # bench.py pool
 K_EXP = 512
 
 
-def median_time(fn, args, iters=12):
+def median_time(fn, args, iters=6, batch=8):
+    """Amortized steady-state time per call (bench.py methodology): `batch`
+    back-to-back async dispatches, ONE sync, median over `iters` batches.
+    Per-call-synced timing through the axon tunnel carries a ~27 ms constant
+    with +-5-10 ms run-to-run variance — stage DELTAS at the few-ms level
+    drown in it; amortized batches cancel the constant and average the
+    noise."""
     fn_j = jax.jit(fn)
     out = fn_j(*args)
     jax.block_until_ready(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn_j(*args)
+        for _ in range(batch):
+            out = fn_j(*args)
         leaf = jax.tree_util.tree_leaves(out)[0]
         _ = np.asarray(jnp.ravel(leaf)[:1])
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / batch)
     return sorted(times)[len(times) // 2]
 
 
@@ -116,8 +123,13 @@ def make_staged(cp, stage):
              decode[0], decode[1], decode[2],
              jnp.arange(n, dtype=jnp.int32)),
             num_keys=1, is_stable=True)
+        # Truncated stages RETURN EVERY SORTED ROW: XLA's sort simplifier
+        # deletes unused payload rows from lax.sort, so returning a subset
+        # times a CHEAPER sort than the real pipeline runs and the deleted
+        # rows' cost silently lands in the next stage's delta (this bug
+        # shaped the round-3 stage buckets).
         if stage == "sortonly":
-            return ops[0], ops[1], ops[6]
+            return ops
         from brush_tpu.ops.pallas.raster_vjp import _popcount_u32
         d0, m_lo, m_hi = ops[8], ops[9], ops[10]
         small_c = (d0 >> 10) & jnp.uint32(1)
@@ -130,24 +142,26 @@ def make_staged(cp, stage):
         offsets = cum - counts_c
         total = jnp.minimum(cum[-1:], MAX_ISECTS).astype(jnp.int32)
         if stage == "sort":
-            return ops[1], ops[6], total
+            return ops, total
 
         bws = bbox_w_c | (small_c << 10)
         comps = build_comp_rows(
             ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
             d0 & jnp.uint32(0x3FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
             m_lo, m_hi, offsets, n_pad_l)
-        scatter_idx = jnp.where(counts_c > 0, offsets, MAX_ISECTS)
-        marks = jnp.zeros((MAX_ISECTS,), jnp.int32).at[scatter_idx].add(
-            1, mode="drop")
-        splat_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)[None, :]
-        s_lo = (splat_c[0, ::K_EXP] // WINDOW_ALIGN) * WINDOW_ALIGN
-        s_lo = jnp.clip(s_lo, 0, n_pad_l - window)
+        offs_col = jnp.concatenate([
+            offsets.astype(jnp.int32),
+            jnp.full((n_pad_l + 8 - n,), 1 << 30, jnp.int32),
+        ])[:, None]
+        starts_blk = jnp.arange(MAX_ISECTS // K_EXP, dtype=jnp.int32) * K_EXP
+        w0 = jnp.searchsorted(cum, starts_blk, side="right").astype(jnp.int32)
+        s_lo = jnp.clip((w0 // WINDOW_ALIGN) * WINDOW_ALIGN, 0,
+                        n_pad_l - window)
         keys, recs = expand_pallas(
-            comps, splat_c, s_lo, total, tiles_x=tiles_x,
+            comps, offs_col, s_lo, total, tiles_x=tiles_x,
             num_tiles=num_tiles, n=n, max_isects=MAX_ISECTS, k_exp=K_EXP)
         if stage == "expand":
-            return keys, recs[0], total
+            return keys, recs, total
 
         sops = jax.lax.sort(
             (keys,) + tuple(recs[i] for i in range(PACK_ROWS)),
@@ -156,13 +170,13 @@ def make_staged(cp, stage):
         packed = jnp.stack(sops[1:1 + PACK_ROWS], axis=0)
         packed = jnp.pad(packed, ((0, 0), (0, k_lanes)))
         if stage == "tilesort":
-            return skeys, packed[0], total
+            return skeys, packed, total
 
         boundaries = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
         tile_bins = jnp.searchsorted(skeys, boundaries).astype(jnp.int32)
         starts, ends = tile_bins[:-1], tile_bins[1:]
         if stage == "bins":
-            return starts, ends, packed[0]
+            return starts, ends, packed
 
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
         img, log_t, fidx = rasterize_fwd_pallas(
@@ -230,18 +244,17 @@ def run_variants():
             return img_tiles
         return fn
 
+    # Round-4 sweep: k_lanes is the raster batch width — the mean tile has
+    # ~528 records, so k=512 batches waste ~45% of their lanes to the
+    # ceil((end - base)/k) quantization (plus the 128-lane base snap-down);
+    # smaller k trades that waste for more per-batch fixed cost.
     grid = [
-        ("base  k512 tps4  nbuf4", 512, 4, 4, 512, 3),
-        ("nbuf2 (r2 buffering)", 512, 4, 2, 512, 3),
-        ("nbuf8", 512, 4, 8, 512, 3),
-        ("tps16", 512, 16, 4, 512, 3),
-        ("k_lanes1024", 1024, 4, 4, 512, 3),
-        ("k_exp1024", 512, 4, 4, 1024, 3),
-        ("k_exp2048", 512, 4, 4, 2048, 3),
-        ("scan_passes2", 512, 4, 4, 512, 2),
-        ("cell2x2", 512, 4, 4, 512, 3, (2, 2)),
-        ("cell4x2", 512, 4, 4, 512, 3, (4, 2)),
-        ("cell2x2+scan2", 512, 4, 4, 512, 2, (2, 2)),
+        ("base  k512 tps8 nbuf6 scan2", 512, 8, 6, 512, 2),
+        ("k_lanes256", 256, 8, 6, 512, 2),
+        ("k_lanes128", 128, 8, 6, 512, 2),
+        ("k_lanes256 tps16", 256, 16, 6, 512, 2),
+        ("k_lanes256 nbuf8", 256, 8, 8, 512, 2),
+        ("r3 base (tps4 nbuf4 scan3)", 512, 4, 4, 512, 3),
     ]
     for row in grid:
         name = row[0]
