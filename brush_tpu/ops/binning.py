@@ -192,6 +192,17 @@ def precompute_tile_masks(proj: Projection, opac: jnp.ndarray,
     lanes, and all bit packing is done with exact power-of-two f32 sums
     (native reductions; u32 tree-sums lower poorly).
 
+    FIXED 8x8 LAYOUT (round 4): mask bit k covers tile
+    (cmin_x + k % 8, cmin_y + k // 8) — kx/ky are STATIC, so the ellipse
+    quadratic separates into precomputed (8, N) row/column pieces and the
+    dense (64, N) pass drops to ~a dozen fused ops per element (vs ~70 for
+    the bbox-row-major layout with its dynamic floor-div); rank decode
+    becomes shift/mask. The cost: `small` now requires bbox_w <= 8 AND
+    bbox_h <= 8 — thin splats with one side > 8 but area <= 64 fall back
+    to conservative bbox records whose off-ellipse tiles the rasterizer's
+    alpha cut discards (identical image; measured pool growth +0.00% on
+    the bench scene, +0.02-0.17% on the castle eval views).
+
     cell=(gw, gh) evaluates the test at raster-cell granularity (a cell is
     gw x gh tiles): a splat covering several tiles of one cell emits ONE
     record, shrinking every pool-scale stage; the rasterizer then sweeps
@@ -203,21 +214,72 @@ def precompute_tile_masks(proj: Projection, opac: jnp.ndarray,
     bbox_w = (cmax_x - cmin_x).astype(jnp.int32)
     bbox_h = (cmax_y - cmin_y).astype(jnp.int32)
     area = jnp.where(proj.visible, bbox_w * bbox_h, 0)
-    small = area <= MASK_BITS
+    small = (bbox_w <= 8) & (bbox_h <= 8) & (area > 0)
 
-    k = jnp.arange(MASK_BITS, dtype=jnp.int32)[:, None]            # (64, 1)
-    w_i = jnp.maximum(bbox_w, 1)[None, :]                           # (1, N)
-    w_f = w_i.astype(jnp.float32)
-    ky = _floor_div(k, w_f, w_i)
-    kx = k - ky * w_i
-    tx = cmin_x[None, :] + kx
-    ty = cmin_y[None, :] + ky
-    hit = can_be_visible(
-        tx, ty, proj.xy[None, :, :], proj.conic[None, :, :], opac[None, :],
-        cell=cell,
+    gw, gh = cell
+    wpx = float(TILE_WIDTH * gw)
+    hpx = float(TILE_WIDTH * gh)
+    ext_x = wpx / 2.0
+    ext_y = hpx / 2.0
+    sig = jnp.log(opac * 255.0)
+    scale = 1.0 / (2.0 * sig)
+    ca = proj.conic[:, 0] * scale
+    cb = proj.conic[:, 1] * scale
+    cc = proj.conic[:, 2] * scale
+
+    # Separable pieces: every per-(kx, ky) quantity of the sign-test form
+    # (see _edge_hits / ellipse_intersects_aabb — same polynomial, factored
+    # along the static 8x8 grid) is a sum/product of one kx piece and one
+    # ky piece. X pieces and Y pieces are (8, N); the combine below runs at
+    # (8, 8, N).
+    k8 = jnp.arange(8, dtype=jnp.float32)[:, None]                  # (8, 1)
+    k8i = jnp.arange(8, dtype=jnp.int32)[:, None]
+    cxf = cmin_x.astype(jnp.float32)
+    cyf = cmin_y.astype(jnp.float32)
+    dx_c = (proj.xy[:, 0] - cxf * wpx - ext_x)[None, :] - k8 * wpx  # (8, N)
+    dy_c = (proj.xy[:, 1] - cyf * hpx - ext_y)[None, :] - k8 * hpx
+    rx = jnp.abs(dx_c) <= ext_x
+    ry = jnp.abs(dy_c) <= ext_y
+    sx = jnp.sign(dx_c)
+    sy = jnp.sign(dy_c)
+    px = sx * ext_x - dx_c          # cpx: nearest corner -> center, x
+    py = sy * ext_y - dy_c
+    gx1 = ca[None, :] * px
+    gy1 = cc[None, :] * py
+    axm1 = gx1 * px - 1.0           # ca*cpx^2 - 1 (folds the -1 of c)
+    ay = gy1 * py                   # cc*cpy^2
+    pxb = (2.0 * cb)[None, :] * px  # cross-term coefficient of c
+    e1k = -sx * wpx                 # edge-1 direction dx1 = -sx*2ext_x
+    e1a = e1k * gx1                 # kx piece of half_b1
+    e1b = e1k * cb[None, :]         # (* py) piece of half_b1
+    e2k = -sy * hpx
+    e2a = e2k * gy1
+    e2b = e2k * cb[None, :]
+    kx_ok = k8i < bbox_w[None, :]
+    ky_ok = k8i < bbox_h[None, :]
+
+    a1 = (ca * (wpx * wpx))[None, None, :]                     # (1, 1, N)
+    a2 = (cc * (hpx * hpx))[None, None, :]
+    alive = ((sig > 0.0) & (area > 0))[None, None, :]
+
+    X = lambda v: v[None, :, :]     # kx pieces -> (1, 8, N)
+    Y = lambda v: v[:, None, :]     # ky pieces -> (8, 1, N)
+    c = X(axm1) + Y(ay) + X(pxb) * Y(py)
+    hb1 = X(e1a) + X(e1b) * Y(py)
+    hb2 = Y(e2a) + Y(e2b) * X(px)
+    in0 = c <= 0.0                  # f(0) <= 0, shared by both edges
+
+    def vertex(a, hb):
+        return ((hb * hb >= a * c) & (hb <= 0.0) & (hb + a >= 0.0)
+                & (a > 0.0))
+
+    hit = (
+        (X(rx) & Y(ry)) | in0
+        | (a1 + 2.0 * hb1 + c <= 0.0) | vertex(a1, hb1)
+        | (a2 + 2.0 * hb2 + c <= 0.0) | vertex(a2, hb2)
     )
-    hit = hit & (k < area[None, :])                                 # (64, N)
-    hit_f = hit.astype(jnp.float32)
+    hit = hit & X(kx_ok) & Y(ky_ok) & alive                     # (8, 8, N)
+    hit_f = hit.astype(jnp.float32).reshape(MASK_BITS, -1)      # (64, N)
 
     # Exact f32 packing: every weight is a power of two and each partial sum
     # stays <= 65535, so the 16-bit half-sums are exact.
@@ -321,8 +383,11 @@ def restrict_masks_parts(ty0, bbox_w, bbox_h, small, mask_lo, mask_hi,
     lo_r = jnp.clip(row_lo - ty0, 0, bbox_h)
     hi_r = jnp.clip(row_hi - ty0, 0, bbox_h)
 
-    a_lo, a_hi = _ones_below64(lo_r * bbox_w)
-    b_lo, b_hi = _ones_below64(hi_r * bbox_w)
+    # Mask rows are 8 bits wide on the fixed 8x8 layout (bit k covers row
+    # k // 8 relative to tmin_y) regardless of bbox_w; kx >= bbox_w bits
+    # are never set, so the 8-wide row windows keep exactly the strip rows.
+    a_lo, a_hi = _ones_below64(lo_r * 8)
+    b_lo, b_hi = _ones_below64(hi_r * 8)
     keep_lo = b_lo & ~a_lo
     keep_hi = b_hi & ~a_hi
     m_lo = mask_lo & keep_lo
@@ -471,11 +536,13 @@ def build_intersections(
     mask_hi = d[:, 2].astype(jnp.uint32)
     pc_pack = d[:, 3].astype(jnp.uint32)
     w_i = d[:, 6]
-    pos = jnp.where(
-        d[:, 7] > 0, _select_bit(mask_lo, mask_hi, pc_pack, rank), rank
-    )
-    dy = _floor_div(pos, w_i.astype(jnp.float32), w_i)
-    dx = pos - dy * w_i
+    # Small splats: bit positions live on the fixed 8x8 layout (static
+    # shift/mask decode). Bbox splats: rank is row-major over bbox_w.
+    pos = _select_bit(mask_lo, mask_hi, pc_pack, rank)
+    dy_b = _floor_div(rank, w_i.astype(jnp.float32), w_i)
+    is_small = d[:, 7] > 0
+    dy = jnp.where(is_small, pos >> 3, dy_b)
+    dx = jnp.where(is_small, pos & 7, rank - dy_b * w_i)
     tile_id = (d[:, 5] + dy) * tiles_x + (d[:, 4] + dx)
 
     # --- tile grouping (replaces the second radix sort + bin edges kernel) ---

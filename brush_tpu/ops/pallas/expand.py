@@ -182,7 +182,7 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
                         n_buf: int = 4):
     def kernel(s_lo_ref, total_ref, comps_hbm, offs_hbm,
                key_ref, out_ref,
-               abuf, obuf_lo, obuf_hi, sem,
+               abuf, obuf, sem,
                ):
         b = pl.program_id(0)
         total = total_ref[0]
@@ -197,13 +197,13 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
                     comps_hbm.at[:, pl.ds(s, window)],
                     abuf.at[slot_idx], sem.at[slot_idx, 0],
                 ),
+                # One lane-major offsets row, window + one extra lane tile:
+                # the kernel lane-shifts it by 1 for the range upper bounds
+                # (HBM lane slices must sit on 128-lane boundaries, so an
+                # s+1 window cannot be DMA'd directly).
                 pltpu.make_async_copy(
-                    offs_hbm.at[pl.ds(s, window)],
-                    obuf_lo.at[slot_idx], sem.at[slot_idx, 1],
-                ),
-                pltpu.make_async_copy(
-                    offs_hbm.at[pl.ds(s + 1, window)],
-                    obuf_hi.at[slot_idx], sem.at[slot_idx, 2],
+                    offs_hbm.at[:, pl.ds(s, window + WINDOW_ALIGN)],
+                    obuf.at[slot_idx], sem.at[slot_idx, 1],
                 ),
             )
 
@@ -240,18 +240,27 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             comps_w = abuf[b % n_buf]                          # (48, W) bf16
 
             # One-hot slot->splat selector from TWO compares against the
-            # offset column: window splat w owns slot k iff
+            # offsets row: window splat w owns slot k iff
             # offs[w] <= k < offs[w+1]. Producing splats are the dense
             # depth-order prefix, so ranges partition [0, total) — exactly
-            # one 1 per live column; exact in bf16, so ONE matmul over the
+            # one 1 per live slot; exact in bf16, so ONE matmul over the
             # pre-split component rows reconstructs every field exactly
-            # (including the splat id from the iota rows 40-42).
-            off_lo = obuf_lo[b % n_buf]                        # (W, 1) i32
-            off_hi = obuf_hi[b % n_buf]
-            oh = ((off_lo <= slots) & (slots < off_hi)).astype(jnp.bfloat16)
-            dn = (((1,), (0,)), ((), ()))
+            # (including the splat id from the iota rows 40-42). Built
+            # TRANSPOSED — slots on sublanes, window splats on lanes, upper
+            # bounds from a static 1-lane shift — so the offsets ride their
+            # natural lane-major layout; the matmul contracts on the lane
+            # dim (A @ B^T), which the MXU takes directly.
+            ext = obuf[b % n_buf]                     # (1, W + 128) i32
+            off_lo = ext[:, :window]                  # (1, W)
+            off_hi = jax.lax.slice(ext, (0, 1), (1, window + 1))
+            slots_col = slot0 + jax.lax.broadcasted_iota(
+                jnp.int32, (k_exp, 1), 0
+            )                                         # (K, 1)
+            oht = ((off_lo <= slots_col)
+                   & (slots_col < off_hi)).astype(jnp.bfloat16)   # (K, W)
+            dn = (((1,), (1,)), ((), ()))
             out = jax.lax.dot_general(
-                comps_w, oh, dn, preferred_element_type=jnp.float32
+                comps_w, oht, dn, preferred_element_type=jnp.float32
             )                                                  # (48, K) f32
 
             # Per-slot decode on (1, K) lane vectors.
@@ -269,11 +278,13 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             # `total`) decodes all-zero fields; keep the float floor-div off
             # 0/0 (the result is masked by `valid` either way).
             w_i = jnp.maximum(bws & 1023, 1)
-            pos = jnp.where(
-                small, _select_bit_lanes(m0, m1, m2, m3, rank), rank
-            )
-            dy = _floor_div_lanes(pos, w_i)
-            dx = pos - dy * w_i
+            # Small splats: mask bits live on the fixed 8x8 layout (static
+            # shift/mask decode). Bbox splats: rank is row-major over the
+            # bbox width (dynamic floor-div).
+            pos = _select_bit_lanes(m0, m1, m2, m3, rank)
+            dy_b = _floor_div_lanes(rank, w_i)
+            dy = jnp.where(small, pos >> 3, dy_b)
+            dx = jnp.where(small, pos & 7, rank - dy_b * w_i)
             tile = (
                 (_c2i(out, 25) + dy) * tiles_x + _c2i(out, 23) + dx
             )
@@ -327,11 +338,12 @@ def expand_pallas(
     """Expand depth-ordered splat rows into per-slot (key, record) arrays.
 
     comps: (COMP_ROWS, n_pad) bf16 — see build_comp_rows.
-    offs_col: (n_pad + 8, 1) i32 — exclusive slot-offset per compact splat
-      (cumsum(counts) - counts), padded past n with a large sentinel.
-      Replaces round 3's (1, max_isects) slot->splat array: slot ownership
-      is derived in-kernel from offs_col windows (see _make_expand_kernel),
-      killing the XLA scatter-add + pool-scale cumsum that built it.
+    offs_col: (1, n_pad + 128) i32 — exclusive slot-offset per compact
+      splat (cumsum(counts) - counts), lane-major, padded past n with a
+      large sentinel. Replaces round 3's (1, max_isects) slot->splat array:
+      slot ownership is derived in-kernel from offsets windows (see
+      _make_expand_kernel), killing the XLA scatter-add + pool-scale
+      cumsum that built it.
     s_lo: (num_blocks,) i32 — WINDOW_ALIGN-aligned splat-window start per
       slot block (the block's first slot's owning splat, rounded down;
       searchsorted(cum, block_starts) in raster_vjp).
@@ -344,7 +356,7 @@ def expand_pallas(
     window = k_exp + 2 * WINDOW_ALIGN
     assert comps.shape[0] == COMP_ROWS and comps.dtype == jnp.bfloat16
     assert comps.shape[1] >= window and comps.shape[1] % WINDOW_ALIGN == 0
-    assert offs_col.shape == (comps.shape[1] + 8, 1), offs_col.shape
+    assert offs_col.shape == (1, comps.shape[1] + WINDOW_ALIGN), offs_col.shape
     assert offs_col.dtype == jnp.int32
     num_blocks = max_isects // k_exp
     assert s_lo.shape == (num_blocks,)
@@ -366,9 +378,8 @@ def expand_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((n_buf, COMP_ROWS, window), jnp.bfloat16),
-            pltpu.VMEM((n_buf, window, 1), jnp.int32),
-            pltpu.VMEM((n_buf, window, 1), jnp.int32),
-            pltpu.SemaphoreType.DMA((n_buf, 3)),
+            pltpu.VMEM((n_buf, 1, window + WINDOW_ALIGN), jnp.int32),
+            pltpu.SemaphoreType.DMA((n_buf, 2)),
         ],
     )
     keys, recs = pl.pallas_call(

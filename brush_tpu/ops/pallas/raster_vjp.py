@@ -251,8 +251,8 @@ def make_pallas_pipeline(
         # compares (see expand.py docstring).
         offs_col = jnp.concatenate([
             offsets.astype(jnp.int32),
-            jnp.full((n_pad + 8 - n,), 1 << 30, jnp.int32),
-        ])[:, None]
+            jnp.full((n_pad + WINDOW_ALIGN - n,), 1 << 30, jnp.int32),
+        ])[None, :]
         starts_blk = jnp.arange(max_isects // k_exp, dtype=jnp.int32) * k_exp
         w0 = jnp.searchsorted(cum, starts_blk, side="right").astype(jnp.int32)
         s_lo = jnp.clip((w0 // WINDOW_ALIGN) * WINDOW_ALIGN, 0,

@@ -36,7 +36,7 @@ def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
                         n_buf: int = 4):
     def kernel(s_lo_ref, total_ref, grads_hbm, offs_hbm, out_in_hbm,
                out_hbm,
-               gbuf, cbuf_lo, cbuf_hi, obuf, sem, osem):
+               gbuf, cbuf, obuf, sem, osem):
         b = pl.program_id(0)
         total = total_ref[0]
         slot0 = b * k_seg
@@ -52,13 +52,12 @@ def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
                     grads_hbm.at[:, pl.ds(blk * k_seg, k_seg)],
                     gbuf.at[slot], sem.at[slot, 0],
                 ),
+                # Lane-major offsets row, window + one lane tile (the upper
+                # bounds come from a static 1-lane shift in-kernel; HBM
+                # lane slices must sit on 128-lane boundaries).
                 pltpu.make_async_copy(
-                    offs_hbm.at[pl.ds(s, window)],
-                    cbuf_lo.at[slot], sem.at[slot, 1],
-                ),
-                pltpu.make_async_copy(
-                    offs_hbm.at[pl.ds(s + 1, window)],
-                    cbuf_hi.at[slot], sem.at[slot, 2],
+                    offs_hbm.at[:, pl.ds(s, window + WINDOW_ALIGN)],
+                    cbuf.at[slot], sem.at[slot, 1],
                 ),
             )
 
@@ -81,19 +80,24 @@ def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
 
             s_al = pl.multiple_of(s_lo_ref[b], WINDOW_ALIGN)
             oin = pltpu.make_async_copy(
-                out_hbm.at[:, pl.ds(s_al, window)], obuf, sem.at[0, 3]
+                out_hbm.at[:, pl.ds(s_al, window)], obuf, sem.at[0, 2]
             )
             oin.start()
             for c in in_dma(b % n_buf, b):
                 c.wait()
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k_seg), 1)
-            slots = slot0 + lane                              # (1, K)
-            live = slots < total                              # (1, K)
-            off_lo = cbuf_lo[b % n_buf]                       # (W, 1) i32
-            off_hi = cbuf_hi[b % n_buf]
-            oh = ((off_lo <= slots) & (slots < off_hi)
-                  & live).astype(jnp.bfloat16)                # (W, K), exact
+            # Transposed one-hot (slots on sublanes, window splats on
+            # lanes) from the offsets row — see expand.py. The contraction
+            # becomes a standard A @ B matmul on the lane/sublane pair.
+            ext = cbuf[b % n_buf]                             # (1, W + 128)
+            off_lo = ext[:, :window]                          # (1, W)
+            off_hi = jax.lax.slice(ext, (0, 1), (1, window + 1))
+            slots_col = slot0 + jax.lax.broadcasted_iota(
+                jnp.int32, (k_seg, 1), 0
+            )                                                 # (K, 1)
+            live = slots_col < total                          # (K, 1)
+            oh = ((off_lo <= slots_col) & (slots_col < off_hi)
+                  & live).astype(jnp.bfloat16)                # (K, W), exact
 
             # 3 bf16 passes instead of HIGHEST's 6: the one-hot is exact in
             # bf16; the gradient rows split into three bf16 components whose
@@ -104,7 +108,7 @@ def _make_segsum_kernel(k_seg: int, window: int, num_blocks: int,
             r1 = g - g_hi.astype(jnp.float32)
             g_mid = r1.astype(jnp.bfloat16)
             g_lo = (r1 - g_mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            dn = (((1,), (1,)), ((), ()))
+            dn = (((1,), (0,)), ((), ()))
             partial = (
                 jax.lax.dot_general(g_hi, oh, dn,
                                     preferred_element_type=jnp.float32)
@@ -137,8 +141,8 @@ def segment_sum_pallas(
     """Sum slot-ordered gradient rows per splat.
 
     grads: (SEG_ROWS, max_isects) f32, slot order (zeroed beyond `total`).
-    offs_col: (n_pad + 8, 1) i32 — exclusive slot-offset per compact splat
-      (see expand_pallas; the same array serves both kernels).
+    offs_col: (1, n_pad + 128) i32 — lane-major exclusive slot-offset per
+      compact splat (see expand_pallas; the same array serves both kernels).
     s_lo: (num_blocks,) i32 aligned window starts (k_seg blocks).
     Returns (SEG_ROWS, n_pad) per-compact-splat sums.
     """
@@ -148,7 +152,8 @@ def segment_sum_pallas(
     num_blocks = max_isects // k_seg
     assert s_lo.shape == (num_blocks,)
     assert grads.shape == (SEG_ROWS, max_isects)
-    assert offs_col.shape == (n_pad + 8, 1) and offs_col.dtype == jnp.int32
+    assert offs_col.shape == (1, n_pad + WINDOW_ALIGN)
+    assert offs_col.dtype == jnp.int32
 
     kernel = _make_segsum_kernel(k_seg, window, num_blocks, n_buf=n_buf)
     zeros = jnp.zeros((SEG_ROWS, n_pad), jnp.float32)
@@ -163,10 +168,9 @@ def segment_sum_pallas(
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((n_buf, SEG_ROWS, k_seg), jnp.float32),
-            pltpu.VMEM((n_buf, window, 1), jnp.int32),
-            pltpu.VMEM((n_buf, window, 1), jnp.int32),
+            pltpu.VMEM((n_buf, 1, window + WINDOW_ALIGN), jnp.int32),
             pltpu.VMEM((SEG_ROWS, window), jnp.float32),
-            pltpu.SemaphoreType.DMA((n_buf, 4)),
+            pltpu.SemaphoreType.DMA((n_buf, 3)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

@@ -151,8 +151,8 @@ def make_staged(cp, stage):
             m_lo, m_hi, offsets, n_pad_l)
         offs_col = jnp.concatenate([
             offsets.astype(jnp.int32),
-            jnp.full((n_pad_l + 8 - n,), 1 << 30, jnp.int32),
-        ])[:, None]
+            jnp.full((n_pad_l + WINDOW_ALIGN - n,), 1 << 30, jnp.int32),
+        ])[None, :]
         starts_blk = jnp.arange(MAX_ISECTS // K_EXP, dtype=jnp.int32) * K_EXP
         w0 = jnp.searchsorted(cum, starts_blk, side="right").astype(jnp.int32)
         s_lo = jnp.clip((w0 // WINDOW_ALIGN) * WINDOW_ALIGN, 0,

@@ -138,10 +138,11 @@ def test_strip_restriction_matches_bruteforce():
             w = max(min(tM[i, 0] - tm[i, 0], 1023), 1)
             h = max(tM[i, 1] - tm[i, 1], 1)
             if small[i]:
+                # Fixed 8x8 layout: bit k covers row tmin_y + k // 8.
                 mask = (int(mhi[i]) << 32) | int(mlo[i])
                 want_bits = [k for k in range(64)
                              if (mask >> k) & 1
-                             and row_lo <= tm[i, 1] + k // w < row_hi]
+                             and row_lo <= tm[i, 1] + k // 8 < row_hi]
                 got_mask = (int(m_hi_d[i]) << 32) | int(m_lo_d[i])
                 got_bits = [k for k in range(64) if (got_mask >> k) & 1]
                 assert got_bits == want_bits, f"splat {i} mask bits"
@@ -264,3 +265,62 @@ def test_ellipse_aabb_sign_test_matches_root_formula():
           (box_x, box_y, ext_x, ext_y, ex, ey, ca, cb, cc)]))
     flips = int(np.sum(got32 != want))
     assert flips <= m // 1000, f"{flips} f32 borderline flips of {m}"
+
+
+def test_fixed8_separable_mask_matches_dense_pretest():
+    """precompute_tile_masks' separable fixed-8x8 evaluation must accept
+    the same tile set as a dense can_be_visible sweep over the 8x8 grid —
+    the same polynomial, factored into static row/column pieces, so any
+    disagreement beyond f32 reassociation flips on decision boundaries is
+    a bug."""
+    import jax
+
+    from brush_tpu import splats as sp
+    from brush_tpu.camera import Camera
+    from brush_tpu.ops.projection import project_splats
+    from brush_tpu.ops.rasterize_reference import camera_params
+
+    rng = np.random.default_rng(5)
+    model = sp.from_random(rng, [-2, -2, -2], [2, 2, 2], count=400,
+                           sh_degree=0)
+    cam = Camera(position=[0, 0, -5.0], rotation=[1, 0, 0, 0],
+                 fov_x=np.pi / 3, fov_y=np.pi / 3)
+    img_size = (256, 192)
+    cp = camera_params(cam, img_size)
+    proj = project_splats(
+        model.means, model.log_scales,
+        model.quats / np.linalg.norm(model.quats, axis=-1, keepdims=True),
+        cp.viewmat, cp.focal, cp.pixel_center, img_size,
+        active=model.active_mask())
+    opac = jax.nn.sigmoid(model.raw_opacity)
+    masks = precompute_tile_masks(proj, opac)
+
+    k = np.arange(64)
+    tx = proj.tile_min[:, 0][None, :] + jnp.asarray(k % 8, jnp.int32)[:, None]
+    ty = proj.tile_min[:, 1][None, :] + jnp.asarray(k // 8, jnp.int32)[:, None]
+    hit = np.asarray(can_be_visible(
+        tx, ty, proj.xy[None, :, :], proj.conic[None, :, :], opac[None, :]))
+    bbox_w = np.asarray(proj.tile_max[:, 0] - proj.tile_min[:, 0])
+    bbox_h = np.asarray(proj.tile_max[:, 1] - proj.tile_min[:, 1])
+    valid = ((k % 8)[:, None] < bbox_w[None, :]) \
+        & ((k // 8)[:, None] < bbox_h[None, :]) \
+        & np.asarray(proj.visible)[None, :]
+    want = hit & valid  # (64, N)
+
+    got = np.zeros_like(want)
+    mlo = np.asarray(masks.mask_lo).astype(np.uint64)
+    mhi = np.asarray(masks.mask_hi).astype(np.uint64)
+    mask64 = mlo | (mhi << np.uint64(32))
+    for b in range(64):
+        got[b] = (mask64 >> np.uint64(b)) & np.uint64(1)
+
+    small = np.asarray(masks.small)
+    flips = int(np.sum(got[:, small] != want[:, small]))
+    assert flips <= max(2, small.sum() // 500), (
+        f"{flips} mask-bit disagreements on {small.sum()} small splats")
+    # Counts: popcount for small, bbox area for the rest.
+    cnt = np.asarray(masks.counts)
+    np.testing.assert_array_equal(
+        cnt[small], got[:, small].sum(axis=0))
+    big = ~small & np.asarray(proj.visible) & (bbox_w * bbox_h > 0)
+    np.testing.assert_array_equal(cnt[big], (bbox_w * bbox_h)[big])
