@@ -82,10 +82,12 @@ def build_inputs():
 def make_staged(cp, stage):
     """Forward pipeline cut off after `stage` (mirrors raster_vjp._fwd_impl).
 
-    stage: proj | sortonly | sort | expand | tilesort | bins | raster
+    stage: projonly | pretest | proj | sortonly | sort | expand | tilesort
+    | bins | raster
     ("sortonly" cuts before the count/cumsum/scatter slot map, isolating
     the raw 12-array depth sort from the slot-map bookkeeping — the
-    roofline table's open question on the N-index scatter-add cost.)
+    roofline table's open question on the N-index scatter-add cost.
+    "projonly" cuts before the pretest; "pretest" before decode packing.)
     """
     w, h = IMG
     tiles_x, tiles_y = -(-w // TILE_WIDTH), -(-h // TILE_WIDTH)
@@ -105,7 +107,11 @@ def make_staged(cp, stage):
         vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True).clip(1e-12)
         color = sh_to_color(1, vd, sh_coeffs)
         opac = jax.nn.sigmoid(raw_op)
+        if stage == "projonly":
+            return proj, color, opac
         masks = precompute_tile_masks(proj, opac)
+        if stage == "pretest":
+            return proj.xy, color, opac, masks
         producing = proj.visible & (masks.counts > 0)
         counts_g = jnp.where(producing, masks.counts, 0)
         depth_bits = jax.lax.bitcast_convert_type(
@@ -190,8 +196,11 @@ def make_staged(cp, stage):
 def run_stages():
     cp, args = build_inputs()
     prev = None
-    for stage in ["proj", "sortonly", "sort", "expand", "tilesort", "bins",
-                  "raster"]:
+    stages = ["projonly", "pretest", "proj", "sortonly", "sort", "expand",
+              "tilesort", "bins", "raster"]
+    if len(sys.argv) > 2:
+        stages = sys.argv[2].split(",")
+    for stage in stages:
         dt = median_time(make_staged(cp, stage), args)
         report(f"through {stage}", dt, prev)
         prev = dt
