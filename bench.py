@@ -11,7 +11,17 @@ steady-state throughput (8 back-to-back async dispatches, one sync) —
 per-call sync through the axon tunnel costs a measured ~26-31 ms that is
 tunnel latency, not device time (reported as dispatch_const_ms; the old
 per-call-synced latency is reported as fwd_ms_synced). See
-_amortized_time's docstring for the full rationale. Secondary keys:
+_amortized_time's docstring for the full rationale.
+
+Since round 5 the harness is UN-LOSABLE under the driver's wall-clock
+budget (round 4 lost its record to rc=124: the single end-of-run print
+never happened): the headline JSON line is emitted the moment the
+headline fwd+train measurements exist, every later block (infer mode,
+matrix points, stage ablations) runs under an internal wall-clock budget
+(BENCH_BUDGET_S, default 1380 s) with a per-block cost estimate, and the
+JSON line is RE-emitted after every completed block. The driver reads
+the LAST stdout line, so a timeout at any point leaves the freshest
+complete record; `skipped` names what the budget cut. Secondary keys:
   matrix   {"<res>_d<density>[_train]": ms, ...}  — render_bench.rs's
            sweep at the {0.1, 1.0} x {512, 1024} corners by default
            (each point is a separate XLA compile; the full 10-density
@@ -119,6 +129,14 @@ def _dispatch_const(jax, jnp, np):
 def main():
     import os
 
+    # Wall-clock budget starts before the jax/backend imports: the axon
+    # backend init + per-executable first-execution loads are the dominant
+    # costs and all count against the driver's timeout. Round 3's full run
+    # took ~24 min and passed, round 4 was killed (rc=124) — 1380 s leaves
+    # margin under a >=25 min driver budget.
+    t0_wall = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1380"))
+
     import jax
 
     # Smoke-test override (CI/CPU): the axon plugin ignores JAX_PLATFORMS,
@@ -210,8 +228,12 @@ def main():
 
     sync_img = lambda out: np.asarray(out[0][:1, :1])
 
+    def remaining():
+        return budget_s - (time.time() - t0_wall)
+
     dconst = _dispatch_const(jax, jnp, np)
-    _log(f"tunnel dispatch+sync constant: {dconst * 1e3:.2f} ms")
+    _log(f"tunnel dispatch+sync constant: {dconst * 1e3:.2f} ms; "
+         f"budget {budget_s:.0f}s")
 
     # --- headline: fwd + train step at 1M splats, 1024^2 ---
     args_full = args_at(1.0)
@@ -221,27 +243,6 @@ def main():
     dt_fwd = _amortized_time(fwd_headline, args_full, sync_img,
                              name="fwd_headline")
     mpix_per_s = hi_res * hi_res / 1e6 / dt_fwd
-
-    # Inference-mode forward (the reference's fwd-only u32 raster,
-    # render_bench.rs:199-214): two fewer pool-scale sort payloads. The
-    # headline stays the train-capable forward for cross-round
-    # comparability; this is the number the viewer/eval path sees.
-    dt_infer = None
-    if os.environ.get("BENCH_INFER", "1") != "0":
-        cp_h = camera_params(cam, (hi_res, hi_res))
-        mi_h = pool_at(1.0)
-
-        @jax.jit
-        def fwd_infer(means, log_scales, quats, sh_coeffs, raw_opacity):
-            img, aux = render_splats(
-                means, log_scales, quats, sh_coeffs, raw_opacity,
-                cp_h, (hi_res, hi_res), block_size=512, max_isects=mi_h,
-                cell=cell, needs_grad=False,
-            )
-            return img, aux.num_dropped
-
-        dt_infer = _amortized_time(fwd_infer, args_full, sync_img,
-                                   name="fwd_infer")
 
     params = jax.device_put(splats.params())
     opt = init_adam(params)
@@ -257,12 +258,61 @@ def main():
         name="train_step",
     )
 
-    # --- matrix (render_bench.rs sweep corners; --full = all densities) ---
-    # Every point also reports its dropped-record count when nonzero
-    # (matrix_dropped): a point whose pool overflowed measured a truncated
-    # workload and must not be read as a clean time.
-    matrix = {}
+    matrix = {f"{hi_res}_d1.0": round(dt_fwd * 1e3, 2),
+              f"{hi_res}_d1.0_train": round(dt_train * 1e3, 2)}
     matrix_dropped = {}
+    result = {
+        "metric": "rasterize_fwd_mpix_per_s_1m_splats_1024",
+        "value": round(mpix_per_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_per_s / 1000.0, 3),
+        # Headline timing methodology, versioned so round-over-round
+        # comparisons can tell a methodology change from a speedup:
+        # v1 (rounds 1-2) = per-call-synced latency (now fwd_ms_synced);
+        # v2 (round 3+) = amortized batch-8 async dispatch, one sync (see
+        # _amortized_time) — the tunnel's ~27 ms per-sync constant
+        # (dispatch_const_ms) is tunnel latency, not device time.
+        "methodology": "v2_amortized_batch8",
+        "fwd_ms": round(dt_fwd * 1e3, 2),
+        "fwd_ms_synced": round(dt_fwd_sync * 1e3, 2),
+        "dispatch_const_ms": round(dconst * 1e3, 2),
+        "fwd_infer_ms": None,
+        "train_step_ms": round(dt_train * 1e3, 2),
+        "train_iters_per_s": round(1.0 / dt_train, 2),
+        "matrix_ms": matrix,
+        "matrix_dropped": matrix_dropped,
+        "stages": {},
+        "skipped": [],
+    }
+
+    def emit():
+        # The driver parses the LAST stdout line: every completed block
+        # re-emits the whole record so a timeout anywhere loses nothing.
+        print(json.dumps(result), flush=True)
+
+    emit()  # the headline is now on the scoreboard, whatever happens next
+
+    # --- budget-gated blocks, priority order -------------------------------
+    # Each block has a cost estimate (compile through the axon tunnel is
+    # ~120-160 s per new executable + ~15 s of measurement); blocks that
+    # don't fit the remaining budget are skipped and named in `skipped`.
+
+    def run_infer():
+        cp_h = camera_params(cam, (hi_res, hi_res))
+        mi_h = pool_at(1.0)
+
+        @jax.jit
+        def fwd_infer(means, log_scales, quats, sh_coeffs, raw_opacity):
+            img, aux = render_splats(
+                means, log_scales, quats, sh_coeffs, raw_opacity,
+                cp_h, (hi_res, hi_res), block_size=512, max_isects=mi_h,
+                cell=cell, needs_grad=False,
+            )
+            return img, aux.num_dropped
+
+        dt = _amortized_time(fwd_infer, args_full, sync_img,
+                             name="fwd_infer")
+        result["fwd_infer_ms"] = round(dt * 1e3, 2)
 
     def measure_point(key, img_size, d, pool_mult=1, mean_mult=1.0):
         a = args_at(d, mean_mult=mean_mult)
@@ -273,49 +323,25 @@ def main():
         if dropped:
             matrix_dropped[key] = dropped
 
-    densities = FULL_DENSITIES if full else DENSITIES
-    for img_size in ((lo_res, lo_res), (hi_res, hi_res)):
-        for d in densities:
-            if img_size == (hi_res, hi_res) and d == 1.0:
-                matrix[f"{img_size[0]}_d{d}"] = round(dt_fwd * 1e3, 2)
-                continue  # the headline already measured this point
-            measure_point(f"{img_size[0]}_d{d}", img_size, d)
-    if full:
-        # The reference's "dense" group: means * 0.25 packs the same splats
-        # into a smaller volume (render_bench.rs DENSE_MULT) — more overlap
-        # per tile, bigger pools (4x the density-scaled base; overflow, if
-        # any, shows up in matrix_dropped rather than passing silently).
-        for d in (0.1, 0.5, 1.0):
-            measure_point(f"{lo_res}_dense_d{d}", (lo_res, lo_res), d,
-                          pool_mult=4, mean_mult=0.25)
-    # fwd+bwd at the 512 corner (the reference's bwd group).
-    p512 = {k: v for k, v in params.items()}
-    st = [p512, init_adam(p512)]
-    ts512 = make_train((lo_res, lo_res), 1.0)
+    def measure_train_point(key, img_size, d):
+        p = {k: v for k, v in params.items()}
+        st = [p, init_adam(p)]
+        ts = make_train(img_size, d)
 
-    def step512():
-        st[0], st[1], loss = ts512(st[0], st[1])
-        return loss
+        def stepper():
+            st[0], st[1], loss = ts(st[0], st[1])
+            return loss
 
-    matrix[f"{lo_res}_d1.0_train"] = round(_amortized_time(
-        lambda: (step512(),), (), lambda out: np.asarray(out[0]),
-        name=f"{lo_res}_d1.0_train",
-    ) * 1e3, 2)
+        matrix[key] = round(_amortized_time(
+            lambda: (stepper(),), (), lambda out: np.asarray(out[0]),
+            name=key,
+        ) * 1e3, 2)
 
-    # --- stage buckets from jitted prefix ablations ---
-    # Skipped in CPU smoke mode (the ablations instantiate the real Pallas
-    # kernels, no interpret fallback) AND whenever the headline config was
-    # overridden (BENCH_N/BENCH_RES/BENCH_CELL): make_staged is pinned to
-    # the canonical 1M/1024^2/1x1 pipeline, so mixing it with an overridden
-    # dt_fwd would subtract times from incompatible configs (the raster
-    # bucket could even go negative under BENCH_CELL).
-    stages = {}
-    canonical = (n_splats == 1 << 20 and hi_res == 1024 and cell == (1, 1))
-    if with_stages and canonical and os.environ.get(
-            "BENCH_PLATFORM", "") in ("", "tpu", "axon"):
+    def run_stages():
+        # Stage buckets from jitted prefix ablations of the SAME pipeline.
         from scripts.profile_r3 import make_staged, MAX_ISECTS  # noqa: F401
 
-        cp = camera_params(cam, (1024, 1024))  # stage ablation is fixed-config
+        cp = camera_params(cam, (1024, 1024))  # ablation is fixed-config
         sync_first = lambda out: np.asarray(
             jax.tree_util.tree_leaves(out)[0][:1])
         t_sort = _amortized_time(
@@ -326,40 +352,58 @@ def main():
             name="stage_tilesort")
         # All three buckets are amortized, so the tunnel constant cancels
         # out of the pipeline entirely (it never enters amortized numbers).
-        stages = {
+        result["stages"] = {
             "prep_sort_ms": round(t_sort * 1e3, 2),
             "expand_tilesort_ms": round((t_tile - t_sort) * 1e3, 2),
             "raster_bins_ms": round((dt_fwd - t_tile) * 1e3, 2),
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "rasterize_fwd_mpix_per_s_1m_splats_1024",
-                "value": round(mpix_per_s, 2),
-                "unit": "Mpix/s",
-                "vs_baseline": round(mpix_per_s / 1000.0, 3),
-                # Headline timing methodology, versioned so round-over-round
-                # comparisons can tell a methodology change from a speedup:
-                # v1 (rounds 1-2) = per-call-synced latency (now
-                # fwd_ms_synced); v2 (round 3+) = amortized batch-8 async
-                # dispatch, one sync (see _amortized_time) — the tunnel's
-                # ~27 ms per-sync constant (dispatch_const_ms) is tunnel
-                # latency, not device time.
-                "methodology": "v2_amortized_batch8",
-                "fwd_ms": round(dt_fwd * 1e3, 2),
-                "fwd_ms_synced": round(dt_fwd_sync * 1e3, 2),
-                "dispatch_const_ms": round(dconst * 1e3, 2),
-                "fwd_infer_ms": (None if dt_infer is None
-                                 else round(dt_infer * 1e3, 2)),
-                "train_step_ms": round(dt_train * 1e3, 2),
-                "train_iters_per_s": round(1.0 / dt_train, 2),
-                "matrix_ms": matrix,
-                "matrix_dropped": matrix_dropped,
-                "stages": stages,
-            }
-        )
-    )
+    # Stage ablations only make sense at the canonical config (pinned
+    # 1M/1024^2/1x1 pipeline; subtracting against an overridden dt_fwd
+    # would mix incompatible configs) and off CPU smoke mode (the
+    # ablations instantiate the real Pallas kernels, no interpret
+    # fallback).
+    canonical = (n_splats == 1 << 20 and hi_res == 1024 and cell == (1, 1))
+    stages_ok = (with_stages and canonical and os.environ.get(
+        "BENCH_PLATFORM", "") in ("", "tpu", "axon"))
+
+    blocks = [("fwd_infer", 170, run_infer)]
+    densities = FULL_DENSITIES if full else DENSITIES
+    for d in densities:
+        if d != 1.0 or (lo_res, lo_res) != (hi_res, hi_res):
+            blocks.append((f"{lo_res}_d{d}", 170, lambda d=d: measure_point(
+                f"{lo_res}_d{d}", (lo_res, lo_res), d)))
+    blocks.append((f"{lo_res}_d1.0_train", 190,
+                   lambda: measure_train_point(
+                       f"{lo_res}_d1.0_train", (lo_res, lo_res), 1.0)))
+    for d in densities:
+        if d != 1.0:
+            blocks.append((f"{hi_res}_d{d}", 170, lambda d=d: measure_point(
+                f"{hi_res}_d{d}", (hi_res, hi_res), d)))
+    if stages_ok:
+        blocks.append(("stages", 330, run_stages))
+    blocks.append((f"{lo_res}_d0.1_train", 190,
+                   lambda: measure_train_point(
+                       f"{lo_res}_d0.1_train", (lo_res, lo_res), 0.1)))
+    if full:
+        # The reference's "dense" group: means * 0.25 packs the same splats
+        # into a smaller volume (render_bench.rs DENSE_MULT) — more overlap
+        # per tile, bigger pools (4x the density-scaled base; overflow, if
+        # any, shows up in matrix_dropped rather than passing silently).
+        for d in (0.1, 0.5, 1.0):
+            blocks.append((f"{lo_res}_dense_d{d}", 170,
+                           lambda d=d: measure_point(
+                               f"{lo_res}_dense_d{d}", (lo_res, lo_res), d,
+                               pool_mult=4, mean_mult=0.25)))
+
+    for name, est_s, thunk in blocks:
+        if remaining() < est_s:
+            result["skipped"].append(name)
+            _log(f"skip {name}: {remaining():.0f}s left < {est_s}s estimate")
+            continue
+        thunk()
+        emit()
+    emit()  # final line = the complete record
 
 
 if __name__ == "__main__":

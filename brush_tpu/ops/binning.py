@@ -13,7 +13,8 @@ of row width, the design minimises the number of indexed memory ops:
   and packs the passing tiles into a 64-bit mask + per-byte popcounts. The
   intersection pool then holds only *exact* hits — typically 3-4x fewer
   slots than bbox-area expansion, and every pool-sized op shrinks with it.
-  Splats with bbox > 64 tiles fall back to conservative bbox expansion;
+  Splats with bbox_w > 8 or bbox_h > 8 fall back to conservative bbox
+  expansion (the mask rides a fixed 8x8 layout);
   their extra records have alpha < 1/255 in the tile and are culled by the
   rasterizer's alpha cut, so images are identical (only num_isects differs
   from the reference when such splats exist).
@@ -164,7 +165,8 @@ class TileMasks(NamedTuple):
     mask_lo: jnp.ndarray   # (N,) uint32 bits 0-31 of the bbox hit mask
     mask_hi: jnp.ndarray   # (N,) uint32 bits 32-63
     pc_pack: jnp.ndarray   # (N,) uint32 popcount of each mask byte, 4b each
-    small: jnp.ndarray     # (N,) bool — mask is authoritative (area <= 64)
+    small: jnp.ndarray     # (N,) bool — mask is authoritative (fits 8x8:
+                           # bbox_w <= 8 AND bbox_h <= 8)
 
 
 def cell_bbox(proj: Projection, cell):
@@ -354,10 +356,10 @@ def restrict_masks_to_strip(proj: Projection, masks: TileMasks,
     replicating the full expansion (the SURVEY §5.7 re-shard design). All
     arithmetic is elementwise over N — no per-bit pass:
 
-    - small splats (authoritative 64-bit mask): keep mask bits whose bbox
-      row falls inside the strip — bit k covers row tmin_y + k // bbox_w,
-      so the kept bits are the contiguous range [lo_r*w, hi_r*w) and the
-      new count is a popcount;
+    - small splats (authoritative 64-bit mask on the fixed 8x8 layout):
+      keep mask bits whose bbox row falls inside the strip — bit k covers
+      row tmin_y + k // 8, so the kept bits are the contiguous range
+      [lo_r*8, hi_r*8) and the new count is a popcount;
     - bbox splats: clip the bbox row range to the strip; tmin_y advances to
       the first included row so the expand kernel's rank -> (dy, dx) decode
       needs no extra state.

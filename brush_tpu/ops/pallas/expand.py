@@ -274,9 +274,12 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             m3 = _c2i(out, 35)
             bws = _c2i(out, 27)
             small = bws >= 1024
-            # max(1): a slot with no owning splat (possible only past
-            # `total`) decodes all-zero fields; keep the float floor-div off
-            # 0/0 (the result is masked by `valid` either way).
+            # max(1): dead slots (possible only past `total`) are claimed
+            # by the last window splat's sentinel-extended range, so they
+            # decode that splat's REAL fields — safety comes from the
+            # `valid` (slot < total) mask on the emitted key/splat id, not
+            # from the decode. max(1) just keeps the float floor-div off a
+            # potential 0/0 when the claimed width field is 0.
             w_i = jnp.maximum(bws & 1023, 1)
             # Small splats: mask bits live on the fixed 8x8 layout (static
             # shift/mask decode). Bbox splats: rank is row-major over the
