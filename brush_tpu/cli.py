@@ -98,7 +98,8 @@ def cmd_train(args):
             raster_cell=_parse_cell(args.cell))
     else:
         trainer = SplatTrainer(config, raster_block_size=args.block_size,
-                               raster_cell=_parse_cell(args.cell))
+                               raster_cell=_parse_cell(args.cell),
+                               pack_grad_sort=args.pack_grad_sort)
     state = trainer.init_state(splats)
     start_step = 0
     if args.resume:
@@ -367,6 +368,10 @@ def main(argv=None):
     t.add_argument("--refine-every", type=int, default=100)
     t.add_argument("--faithful-reference-refine", action="store_true",
                    help="replicate the reference's refine quirks exactly")
+    t.add_argument("--pack-grad-sort", action="store_true",
+                   help="backward grad re-sort carries conic/color "
+                        "cotangents as bf16 pairs (7 instead of 10 "
+                        "pool-scale payload rows)")
     t.add_argument("--shard", action="store_true",
                    help="shard training over all visible devices "
                         "(gaussian+tile sharding, sharded refinement)")

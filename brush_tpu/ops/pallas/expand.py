@@ -179,7 +179,13 @@ def _floor_div_lanes(a_int, b_int):
 
 def _make_expand_kernel(tiles_x: int, num_tiles: int,
                         n: int, k_exp: int, window: int, num_blocks: int,
-                        n_buf: int = 4):
+                        n_buf: int = 4, ablate=()):
+    """ablate: PROFILING-ONLY feature cuts (scripts/profile_r5.py);
+    outputs are wrong under any of them.
+      "decode"  skip the rank->tile bit-select/floor-div chain (tile := rank)
+      "matmul"  skip the one-hot MXU gather (fields read from the raw
+                window at a bogus alignment)
+    """
     def kernel(s_lo_ref, total_ref, comps_hbm, offs_hbm,
                key_ref, out_ref,
                abuf, obuf, sem,
@@ -258,10 +264,13 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             )                                         # (K, 1)
             oht = ((off_lo <= slots_col)
                    & (slots_col < off_hi)).astype(jnp.bfloat16)   # (K, W)
-            dn = (((1,), (1,)), ((), ()))
-            out = jax.lax.dot_general(
-                comps_w, oht, dn, preferred_element_type=jnp.float32
-            )                                                  # (48, K) f32
+            if "matmul" in ablate:
+                out = comps_w[:, :k_exp].astype(jnp.float32)
+            else:
+                dn = (((1,), (1,)), ((), ()))
+                out = jax.lax.dot_general(
+                    comps_w, oht, dn, preferred_element_type=jnp.float32
+                )                                              # (48, K) f32
 
             # Per-slot decode on (1, K) lane vectors.
             valid = slots < total
@@ -284,13 +293,16 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             # Small splats: mask bits live on the fixed 8x8 layout (static
             # shift/mask decode). Bbox splats: rank is row-major over the
             # bbox width (dynamic floor-div).
-            pos = _select_bit_lanes(m0, m1, m2, m3, rank)
-            dy_b = _floor_div_lanes(rank, w_i)
-            dy = jnp.where(small, pos >> 3, dy_b)
-            dx = jnp.where(small, pos & 7, rank - dy_b * w_i)
-            tile = (
-                (_c2i(out, 25) + dy) * tiles_x + _c2i(out, 23) + dx
-            )
+            if "decode" in ablate:
+                tile = rank
+            else:
+                pos = _select_bit_lanes(m0, m1, m2, m3, rank)
+                dy_b = _floor_div_lanes(rank, w_i)
+                dy = jnp.where(small, pos >> 3, dy_b)
+                dx = jnp.where(small, pos & 7, rank - dy_b * w_i)
+                tile = (
+                    (_c2i(out, 25) + dy) * tiles_x + _c2i(out, 23) + dx
+                )
             key_ref[0:1] = jnp.where(valid, tile, num_tiles).astype(jnp.uint32)
 
             # Packed record rows (see rasterize_fwd.PACK_ROWS layout).
@@ -330,13 +342,13 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
     jax.jit,
     static_argnames=(
         "tiles_x", "num_tiles", "n", "max_isects", "k_exp", "interpret",
-        "n_buf",
+        "n_buf", "ablate",
     ),
 )
 def expand_pallas(
     comps, offs_col, s_lo, total,
     tiles_x: int, num_tiles: int, n: int, max_isects: int,
-    k_exp: int = 512, interpret: bool = False, n_buf: int = 4,
+    k_exp: int = 512, interpret: bool = False, n_buf: int = 4, ablate=(),
 ):
     """Expand depth-ordered splat rows into per-slot (key, record) arrays.
 
@@ -365,7 +377,8 @@ def expand_pallas(
     assert s_lo.shape == (num_blocks,)
 
     kernel = _make_expand_kernel(tiles_x, num_tiles, n, k_exp, window,
-                                 num_blocks, n_buf=n_buf)
+                                 num_blocks, n_buf=n_buf,
+                                 ablate=tuple(ablate))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_blocks,),

@@ -263,36 +263,57 @@ def _splat_basis(dec, center_x, center_y):
 
 def _make_kernel(tiles_x: int, k_lanes: int,
                  tiles_per_step: int = 1, n_buf: int = 2,
-                 scan_passes: int = 3, cell=(1, 1)):
+                 scan_passes: int = 3, cell=(1, 1), ablate=()):
+    """ablate: PROFILING-ONLY feature cuts, each naming a suspected cost
+    (scripts/profile_r5.py); outputs are wrong under any of them.
+      "fidx"  skip the final-index bookkeeping
+      "scan"  no transmittance prefix scan (csum := lom)
+      "trans" exp/log1p replaced by 2-op polynomials
+      "rgb"   skip the color accumulation (mults + row sums)
+
+    ONE fused while_loop per grid step over the flattened (tile, batch)
+    sequence, replacing round 1-4's per-tile loops. Measured rationale
+    (scripts/profile_r5.py, 2026-08-20): at the bench point tiles average
+    ~1 batch, so per-TILE while_loop setup + a DMA pipeline that never gets
+    deeper than the tile's own 1-2 batches left 8.06 ms of pure grid fixed
+    cost (empty-frame) and ~1.6 us/batch of exposed DMA latency. The fused
+    loop keeps ONE DMA pipe n_buf-1 deep ACROSS tile boundaries:
+
+    - an issue cursor (gp, bp) walks the no-early-out batch sequence,
+      skipping empty tiles; a refill inner loop (the only issue site) tops
+      the pipe to n_buf-1 outstanding copies;
+    - the consume path processes batch (g, b) against slot ci % n_buf —
+      issue order equals consume order, so slots line up by counter;
+    - a tile finishes when its range is exhausted OR every pixel's T died
+      (the sticky early-out). Finishing discards the <= n_buf-1 in-flight
+      copies that belong to the finished tile (bounded: the issue cursor
+      jumps past the tile's unissued remainder, so zombie DMAs never
+      exceed the pipe depth) and writes the tile's outputs at a dynamic
+      index into the step's output block.
+    """
+    p = TILE_SIZE * cell[0] * cell[1]
+    g_tiles = tiles_per_step
 
     def kernel(starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                img_ref, logt_ref, fidx_ref,
                buf, sem):
-        # tiles_per_step > 1 amortizes the per-grid-step fixed cost (output
-        # block switching, setup) over several tiles; each tile's work is
-        # unchanged and runs sequentially within the step.
-        b = pl.program_id(0)
+        step = pl.program_id(0)
+        t0 = step * g_tiles
         a_p = _pixel_basis_a(cell=cell)  # tile-independent: once per step
-        for g in range(tiles_per_step):
-            _run_tile(b * tiles_per_step + g, g, a_p,
-                      starts_ref, ends_ref, tile_ids_ref, packed_hbm,
-                      img_ref, logt_ref, fidx_ref, buf, sem)
-
-    def _run_tile(t, g, a_p, starts_ref, ends_ref, tile_ids_ref, packed_hbm,
-                  img_ref, logt_ref, fidx_ref, buf, sem):
-        # Tile ranges are arbitrary (unaligned tile_bins); DMA windows snap
-        # down to the lane-tiling boundary and masks cut the leading lanes.
-        start = starts_ref[t]
-        end = ends_ref[t]
-        base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
-        cx_t, cy_t = _tile_center(tile_ids_ref, t, tiles_x, cell=cell)
-
-        num_batches = jnp.where(
-            end > start, pl.cdiv(end - base, k_lanes), 0
-        )
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
 
-        def dma(slot, b):
+        def rng(g):
+            """start/end/base/num_batches of in-step tile g (scalars)."""
+            start = starts_ref[t0 + g]
+            end = ends_ref[t0 + g]
+            base = pl.multiple_of(
+                (start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN
+            )
+            nb = jnp.where(end > start, pl.cdiv(end - base, k_lanes), 0)
+            return start, end, base, nb
+
+        def dma(slot, g, b):
+            _, _, base, _ = rng(g)
             off = base + b * k_lanes
             return pltpu.make_async_copy(
                 packed_hbm.at[:, pl.ds(off, k_lanes)],
@@ -300,105 +321,161 @@ def _make_kernel(tiles_x: int, k_lanes: int,
                 sem.at[slot],
             )
 
-        # Kick off the first n_buf-1 copies; the loop body tops the pipe up
-        # to n_buf-1 batches ahead. Per-batch compute (~0.3us of MXU work)
-        # is shorter than a single HBM copy's issue+latency, so with only
-        # double buffering the loop serializes on DMA latency — deeper
-        # buffering amortizes it across n_buf-1 outstanding copies.
-        for j in range(n_buf - 1):
-            @pl.when(j < num_batches)
-            def _(j=j):
-                dma(j, j).start()
+        def refill(ci, ni, gp, bp):
+            """Top the pipe up to n_buf-1 outstanding copies (the only
+            issue site; also does the initial priming on entry)."""
+            def r_cond(c):
+                ci, ni, gp, bp = c
+                return (ni - ci < n_buf - 1) & (gp < g_tiles)
+
+            def r_body(c):
+                ci, ni, gp, bp = c
+                _, _, _, nb = rng(gp)
+                issue = bp < nb
+
+                @pl.when(issue)
+                def _():
+                    dma(ni % n_buf, gp, bp).start()
+                ni = jnp.where(issue, ni + 1, ni)
+                bp = jnp.where(issue, bp + 1, 0)
+                gp = jnp.where(issue, gp, gp + 1)
+                return (ci, ni, gp, bp)
+
+            return jax.lax.while_loop(r_cond, r_body, (ci, ni, gp, bp))[1:]
 
         def body(carry):
-            b, log_t, alive, rgb_r, rgb_g, rgb_b, fidx = carry
+            (g, b, ci, ni, gp, bp,
+             log_t, alive, rgb_r, rgb_g, rgb_b, fidx) = carry
+            start, end, base, nb = rng(g)
+            fin = (b >= nb) | (jnp.max(alive) <= 0.5)
 
-            @pl.when(b + n_buf - 1 < num_batches)
+            @pl.when(fin)
             def _():
-                dma((b + n_buf - 1) % n_buf, b + n_buf - 1).start()
+                # Tile g done: outputs at a dynamic in-block index.
+                alpha_out = 1.0 - jnp.exp(log_t)
+                img_ref[pl.ds(g, 1)] = jnp.concatenate(
+                    [rgb_r, rgb_g, rgb_b, alpha_out], axis=1)[None]
+                logt_ref[pl.ds(g, 1)] = log_t[None]
+                fidx_ref[pl.ds(g, 1)] = fidx[None]
 
-            dma(b % n_buf, b).wait()
-            blk = buf[b % n_buf]  # (8, K) u32
-            dec = unpack_record_rows(blk)
-
-            off = base + b * k_lanes
-            isect_idx = off + lane_idx                       # (1, K)
-            lane_ok = (isect_idx >= start) & (isect_idx < end)
-
-            b_s = _splat_basis(dec, cx_t, cy_t)              # (8, K)
-            sigma = jnp.dot(
-                a_p, b_s, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST
-            )                                                # (P, K) via MXU
-            vis = jnp.exp(-sigma)
-            opac = dec[8]                                    # (1, K)
-            alpha = jnp.minimum(ALPHA_MAX, opac * vis)
-            ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok
-            alpha = jnp.where(ok, alpha, 0.0)
-
-            lom = jnp.log1p(-alpha)
-            csum = _cumsum_lanes_mxu(lom, k_lanes, passes=scan_passes)
-            log_t_after = log_t + csum
-            # The early-out is STICKY (reference: rasterize.wgsl:87-90 sets
-            # `done` and breaks without compositing the crossing splat). A
-            # bare T-threshold would let a pixel whose crossing lane was
-            # excluded "revive" in a later batch — and the backward's
-            # T-reconstruction (which replays everything below final_index)
-            # then diverges explosively.
-            # alive rides the carry as f32 (Mosaic cannot yield i1 vectors).
-            act = (alive > 0.5) & (log_t_after > LOG_T_EPS)
-            t_before = jnp.exp(log_t_after - lom)
-            fac = alpha * t_before * jnp.where(act, 1.0, 0.0)
-
-            rgb_r = rgb_r + jnp.sum(fac * dec[5], axis=1, keepdims=True)
-            rgb_g = rgb_g + jnp.sum(fac * dec[6], axis=1, keepdims=True)
-            rgb_b = rgb_b + jnp.sum(fac * dec[7], axis=1, keepdims=True)
-            log_t = log_t + jnp.sum(
-                jnp.where(act, lom, 0.0), axis=1, keepdims=True
-            )
-            alive = jnp.where(
-                log_t_after[:, k_lanes - 1 : k_lanes] > LOG_T_EPS, alive, 0.0
+            # Discard tile g's in-flight copies on early-out (issue order =
+            # consume order, and the cursor walks tile-by-tile, so they are
+            # a prefix of the pipe; <= n_buf-1 of them by construction).
+            n_disc = jnp.where(
+                fin, jnp.where(gp == g, bp, nb) - b, 0
             )
 
-            contributed = act & (alpha > 0.0)
-            fidx = jnp.maximum(
-                fidx,
-                jnp.max(jnp.where(contributed, isect_idx, -1), axis=1, keepdims=True),
-            )
-            return (b + 1, log_t, alive, rgb_r, rgb_g, rgb_b, fidx)
+            def d_body(j):
+                dma((ci + j) % n_buf, g, b + j).wait()
+                return j + 1
+
+            jax.lax.while_loop(lambda j: j < n_disc, d_body,
+                               jnp.zeros((), jnp.int32))
+            ci = ci + n_disc
+            # Jump the issue cursor past the finished tile's remainder.
+            fin_jump = fin & (gp == g)
+            bp = jnp.where(fin_jump, 0, bp)
+            gp = jnp.where(fin_jump, g + 1, gp)
+
+            def process(log_t, alive, rgb_r, rgb_g, rgb_b, fidx):
+                dma(ci % n_buf, g, b).wait()
+                blk = buf[ci % n_buf]  # (8, K) u32
+                dec = unpack_record_rows(blk)
+
+                off = base + b * k_lanes
+                isect_idx = off + lane_idx                   # (1, K)
+                lane_ok = (isect_idx >= start) & (isect_idx < end)
+                cx_t, cy_t = _tile_center(
+                    tile_ids_ref, t0 + g, tiles_x, cell=cell
+                )
+
+                b_s = _splat_basis(dec, cx_t, cy_t)          # (8, K)
+                sigma = jnp.dot(
+                    a_p, b_s, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST
+                )                                            # (P, K) on MXU
+                if "trans" in ablate:
+                    vis = jnp.maximum(0.0, 1.0 - 0.5 * sigma)
+                else:
+                    vis = jnp.exp(-sigma)
+                opac = dec[8]                                # (1, K)
+                alpha = jnp.minimum(ALPHA_MAX, opac * vis)
+                ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok
+                alpha = jnp.where(ok, alpha, 0.0)
+
+                lom = -alpha if "trans" in ablate else jnp.log1p(-alpha)
+                if "scan" in ablate:
+                    csum = lom
+                else:
+                    csum = _cumsum_lanes_mxu(lom, k_lanes,
+                                             passes=scan_passes)
+                log_t_after = log_t + csum
+                # The early-out is STICKY (reference: rasterize.wgsl:87-90
+                # sets `done` and breaks without compositing the crossing
+                # splat). A bare T-threshold would let a pixel whose
+                # crossing lane was excluded "revive" in a later batch —
+                # and the backward's T-reconstruction (which replays
+                # everything below final_index) then diverges explosively.
+                # alive rides the carry as f32 (Mosaic cannot yield i1
+                # vectors).
+                act = (alive > 0.5) & (log_t_after > LOG_T_EPS)
+                if "trans" in ablate:
+                    t_before = 1.0 + (log_t_after - lom)
+                else:
+                    t_before = jnp.exp(log_t_after - lom)
+                fac = alpha * t_before * jnp.where(act, 1.0, 0.0)
+
+                if "rgb" not in ablate:
+                    rgb_r = rgb_r + jnp.sum(fac * dec[5], axis=1,
+                                            keepdims=True)
+                    rgb_g = rgb_g + jnp.sum(fac * dec[6], axis=1,
+                                            keepdims=True)
+                    rgb_b = rgb_b + jnp.sum(fac * dec[7], axis=1,
+                                            keepdims=True)
+                log_t = log_t + jnp.sum(
+                    jnp.where(act, lom, 0.0), axis=1, keepdims=True
+                )
+                alive = jnp.where(
+                    log_t_after[:, k_lanes - 1:k_lanes] > LOG_T_EPS,
+                    alive, 0.0,
+                )
+                if "fidx" not in ablate:
+                    contributed = act & (alpha > 0.0)
+                    fidx = jnp.maximum(
+                        fidx,
+                        jnp.max(jnp.where(contributed, isect_idx, -1),
+                                axis=1, keepdims=True),
+                    )
+                return log_t, alive, rgb_r, rgb_g, rgb_b, fidx
+
+            def reset(log_t, alive, rgb_r, rgb_g, rgb_b, fidx):
+                z = jnp.zeros((p, 1), jnp.float32)
+                return (z, jnp.ones((p, 1), jnp.float32), z, z, z,
+                        jnp.full((p, 1), -1, jnp.int32))
+
+            state = (log_t, alive, rgb_r, rgb_g, rgb_b, fidx)
+            state = jax.lax.cond(fin, reset, process, *state)
+            log_t, alive, rgb_r, rgb_g, rgb_b, fidx = state
+
+            ci = jnp.where(fin, ci, ci + 1)
+            b = jnp.where(fin, 0, b + 1)
+            g = jnp.where(fin, g + 1, g)
+            ni, gp, bp = refill(ci, ni, gp, bp)
+            return (g, b, ci, ni, gp, bp,
+                    log_t, alive, rgb_r, rgb_g, rgb_b, fidx)
 
         def cond(carry):
-            b, alive = carry[0], carry[2]
-            return (b < num_batches) & (jnp.max(alive) > 0.5)
+            return carry[0] < g_tiles
 
-        p = TILE_SIZE * cell[0] * cell[1]
+        z = jnp.zeros((p, 1), jnp.float32)
+        i0 = jnp.zeros((), jnp.int32)
+        init_cursors = refill(i0, i0, i0, i0)
         init = (
-            jnp.zeros((), jnp.int32),
-            jnp.zeros((p, 1), jnp.float32),
-            jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32),
+            i0, i0, i0, *init_cursors,
+            z, jnp.ones((p, 1), jnp.float32), z, z, z,
             jnp.full((p, 1), -1, jnp.int32),
         )
-        b_final, log_t, _alive, rgb_r, rgb_g, rgb_b, fidx = jax.lax.while_loop(
-            cond, body, init
-        )
-
-        # If the early-out fired, up to n_buf-1 prefetched copies (batches
-        # b_final .. started-1, started = min(b_final + n_buf - 1,
-        # num_batches)) are still in flight; consume them so the next grid
-        # step's semaphore accounting stays correct.
-        started = jnp.minimum(b_final + n_buf - 1, num_batches)
-        for j in range(n_buf - 1):
-            @pl.when((b_final >= 1) & (b_final + j < started))
-            def _(j=j):
-                dma((b_final + j) % n_buf, b_final + j).wait()
-
-        alpha_out = 1.0 - jnp.exp(log_t)
-        img_ref[g] = jnp.concatenate([rgb_r, rgb_g, rgb_b, alpha_out], axis=1)
-        logt_ref[g] = log_t
-        fidx_ref[g] = fidx
+        jax.lax.while_loop(cond, body, init)
 
     return kernel
 
@@ -407,13 +484,13 @@ def _make_kernel(tiles_x: int, k_lanes: int,
     jax.jit,
     static_argnames=("tiles_x", "num_tiles", "max_isects", "k_lanes",
                      "interpret", "tiles_per_step", "n_buf", "scan_passes",
-                     "cell"),
+                     "cell", "ablate"),
 )
 def rasterize_fwd_pallas(
     packed, starts, ends, tile_ids,
     tiles_x: int, num_tiles: int, max_isects: int, k_lanes: int = 512,
     interpret: bool = False, tiles_per_step: int = 8, n_buf: int = 6,
-    scan_passes: int = 2, cell=(1, 1),
+    scan_passes: int = 2, cell=(1, 1), ablate=(),
 ):
     """Forward rasterize. Returns (img (T,P,4), log_t (T,P), final_idx (T,P)).
 
@@ -441,7 +518,8 @@ def rasterize_fwd_pallas(
         tile_ids = jnp.pad(tile_ids, (0, pad))
     p = TILE_SIZE * cell[0] * cell[1]
     kernel = _make_kernel(tiles_x, k_lanes, tiles_per_step=g,
-                          n_buf=n_buf, scan_passes=scan_passes, cell=cell)
+                          n_buf=n_buf, scan_passes=scan_passes, cell=cell,
+                          ablate=tuple(ablate))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(steps,),

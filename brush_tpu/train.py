@@ -110,13 +110,19 @@ class SplatTrainer:
     """
 
     def __init__(self, config: TrainConfig | None = None,
-                 raster_block_size: int = 32, raster_cell=(1, 1)):
+                 raster_block_size: int = 32, raster_cell=(1, 1),
+                 pack_grad_sort: bool = False):
         self.config = config or TrainConfig()
         self.iter = 0
         self.raster_block_size = raster_block_size
         # Raster-cell grouping (render_splats cell=): pallas-path perf
         # knob, single-tile default; ignored by the XLA backend.
         self.raster_cell = tuple(raster_cell)
+        # pack_grad_sort (render_splats knob): the backward's conic/color
+        # cotangents ride the grad re-sort as bf16 pairs (10 -> 7 pool-
+        # scale payload rows). Off by default; gated by a training-quality
+        # run (docs/RESULTS.md round 5).
+        self.pack_grad_sort = pack_grad_sort
         # Adaptive intersection-pool size: sorting the pool dominates step
         # time if it is oversized, so start modest and grow on pressure
         # (checked at refine boundaries, where a host sync happens anyway).
@@ -263,7 +269,7 @@ class SplatTrainer:
                 params["sh_coeffs"], params["raw_opacity"],
                 cam, img_size, xy_dummy=xy_dummy, active=active,
                 block_size=block, max_isects=max_isects,
-                cell=self.raster_cell,
+                cell=self.raster_cell, pack_grad_sort=self.pack_grad_sort,
             )
             pred = img if channels == 4 else img[..., :3]
             l1 = jnp.mean(jnp.abs(pred - gt))
