@@ -53,8 +53,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from brush_tpu.ops.pallas.rasterize_fwd import PACK_ROWS
 
-COMP_ROWS = 48     # 40 used component rows, padded to the bf16 sublane tile
+COMP_ROWS = 48     # 46 used component rows, padded to the bf16 sublane tile
 WINDOW_ALIGN = 128  # lane alignment for the splat-window DMAs
+# Offsets past the live splats decode to this sentinel (> any slot id; the
+# pipeline asserts max_isects < 2^24, so every live slot compares below it).
+OFFSET_SENTINEL = 0xFFFFFF
+
+
+def window_for(k_exp: int) -> int:
+    """Splat-window width for a k_exp-slot block: aligned start (<= 127
+    slack) + at most k_exp owning splats (counts >= 1 in the compact
+    prefix). The upper offset bounds ride the comps stack as PRE-SHIFTED
+    components (rows 43-45), so no +1 lane headroom is needed."""
+    return k_exp + WINDOW_ALIGN
 
 
 def _split_f32(v):
@@ -80,7 +91,8 @@ def _split_u24(v):
 
 
 def build_comp_rows(x, y, cxx, cxy, cyy, colop0, colop1,
-                    tmin_x, tmin_y, bws, m_lo, m_hi, offsets, n_pad: int):
+                    tmin_x, tmin_y, bws, m_lo, m_hi, offsets, n_pad: int,
+                    cum=None):
     """(COMP_ROWS, n_pad) bf16 component stack for the expand matmul.
 
     Inputs are (n,) arrays in depth-compact order: f32 x/y/conic, packed u32
@@ -88,10 +100,25 @@ def build_comp_rows(x, y, cxx, cxy, cyy, colop0, colop1,
     fields (bws = bbox_w | small << 10), u32 mask halves, i32 slot offsets.
     Rows 40-42 carry the compact splat INDEX (a static iota, u24-split), so
     the one-hot matmul also delivers each slot's splat id — record row 7.
+    Rows 43-45 carry `cum` (the INCLUSIVE count cumsum = each splat's upper
+    slot bound, i.e. the next splat's offset): the kernel reconstructs both
+    one-hot compare bounds from the comps window itself, which drops the
+    separate per-block offsets DMA — the DMA ISSUE cost, two copies per
+    block, measured as the kernel's largest bucket (profile_r5, 2026-08-20).
+    Offsets/cum past the live splats pad with OFFSET_SENTINEL (own nothing);
+    all other rows pad with zeros. `cum` defaults to offsets shifted by one
+    position when omitted (callers that predate the fused-bounds layout).
     """
     m16 = jnp.uint32(0xFFFF)
     n = x.shape[0]
+    if cum is None:
+        cum = jnp.concatenate([
+            offsets[1:], jnp.full((1,), OFFSET_SENTINEL, offsets.dtype)
+        ])
     idx = jnp.arange(n_pad, dtype=jnp.int32)
+    sent = jnp.full((n_pad - n,), OFFSET_SENTINEL, jnp.int32)
+    offsets_p = jnp.concatenate([offsets.astype(jnp.int32), sent])
+    cum_p = jnp.concatenate([cum.astype(jnp.int32), sent])
     rows = (
         _split_f32(x) + _split_f32(y)
         + _split_f32(cxx) + _split_f32(cxy) + _split_f32(cyy)
@@ -100,14 +127,17 @@ def build_comp_rows(x, y, cxx, cxy, cyy, colop0, colop1,
         + _split_u16(tmin_x) + _split_u16(tmin_y) + _split_u16(bws)
         + _split_u16(m_lo & m16) + _split_u16(m_lo >> 16)
         + _split_u16(m_hi & m16) + _split_u16(m_hi >> 16)
-        + _split_u24(offsets)
     )
-    assert len(rows) == 40
+    assert len(rows) == 37
     comps = jnp.stack(rows, axis=0)
     comps = jnp.pad(comps, ((0, 0), (0, n_pad - n)))
-    comps = jnp.concatenate([comps, jnp.stack(_split_u24(idx), axis=0)],
-                            axis=0)
-    comps = jnp.pad(comps, ((0, COMP_ROWS - 43), (0, 0)))
+    comps = jnp.concatenate([
+        comps,
+        jnp.stack(_split_u24(offsets_p), axis=0),
+        jnp.stack(_split_u24(idx), axis=0),
+        jnp.stack(_split_u24(cum_p), axis=0),
+    ], axis=0)
+    comps = jnp.pad(comps, ((0, COMP_ROWS - 46), (0, 0)))
     return comps
 
 
@@ -186,9 +216,9 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
       "matmul"  skip the one-hot MXU gather (fields read from the raw
                 window at a bogus alignment)
     """
-    def kernel(s_lo_ref, total_ref, comps_hbm, offs_hbm,
+    def kernel(s_lo_ref, total_ref, comps_hbm,
                key_ref, out_ref,
-               abuf, obuf, sem,
+               abuf, sem,
                ):
         b = pl.program_id(0)
         total = total_ref[0]
@@ -198,25 +228,20 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
 
         def dma(slot_idx, blk):
             s = pl.multiple_of(s_lo_ref[blk], WINDOW_ALIGN)
-            return (
-                pltpu.make_async_copy(
-                    comps_hbm.at[:, pl.ds(s, window)],
-                    abuf.at[slot_idx], sem.at[slot_idx, 0],
-                ),
-                # One lane-major offsets row, window + one extra lane tile:
-                # the kernel lane-shifts it by 1 for the range upper bounds
-                # (HBM lane slices must sit on 128-lane boundaries, so an
-                # s+1 window cannot be DMA'd directly).
-                pltpu.make_async_copy(
-                    offs_hbm.at[:, pl.ds(s, window + WINDOW_ALIGN)],
-                    obuf.at[slot_idx], sem.at[slot_idx, 1],
-                ),
+            # ONE copy per block: the one-hot compare bounds ride the comps
+            # stack as pre-split u24 components (rows 37-39 lower / 43-45
+            # upper), so the round-3/4 second per-block offsets DMA — and
+            # its issue cost, the kernel's largest measured bucket — is
+            # gone.
+            return pltpu.make_async_copy(
+                comps_hbm.at[:, pl.ds(s, window)],
+                abuf.at[slot_idx], sem.at[slot_idx],
             )
 
         # Prime the first n_buf-1 live blocks' windows on the first step;
         # each live step then tops the pipe up n_buf-1 ahead — the window
-        # DMA (~150 KB) is longer than the block's compute, so double
-        # buffering alone left the loop latency-bound.
+        # DMA is longer than the block's compute, so double buffering
+        # alone left the loop latency-bound.
         @pl.when(b == 0)
         def _():
             # Static prime indices are clamped into the grid: the slice
@@ -226,8 +251,7 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             for j in range(n_buf - 1):
                 @pl.when(j * k_exp < total)
                 def _(j=j):
-                    for c in dma(j, min(j, num_blocks - 1)):
-                        c.start()
+                    dma(j, min(j, num_blocks - 1)).start()
 
         live = slot0 < total
 
@@ -238,27 +262,29 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             # max_isects = num_blocks * k_exp).
             @pl.when(slot0 + (n_buf - 1) * k_exp < total)
             def _():
-                for c in dma((b + n_buf - 1) % n_buf, b + n_buf - 1):
-                    c.start()
+                dma((b + n_buf - 1) % n_buf, b + n_buf - 1).start()
 
-            for c in dma(b % n_buf, b):
-                c.wait()
+            dma(b % n_buf, b).wait()
             comps_w = abuf[b % n_buf]                          # (48, W) bf16
 
             # One-hot slot->splat selector from TWO compares against the
-            # offsets row: window splat w owns slot k iff
-            # offs[w] <= k < offs[w+1]. Producing splats are the dense
+            # offset bounds: window splat w owns slot k iff
+            # offs[w] <= k < cum[w]. Producing splats are the dense
             # depth-order prefix, so ranges partition [0, total) — exactly
             # one 1 per live slot; exact in bf16, so ONE matmul over the
             # pre-split component rows reconstructs every field exactly
             # (including the splat id from the iota rows 40-42). Built
-            # TRANSPOSED — slots on sublanes, window splats on lanes, upper
-            # bounds from a static 1-lane shift — so the offsets ride their
-            # natural lane-major layout; the matmul contracts on the lane
-            # dim (A @ B^T), which the MXU takes directly.
-            ext = obuf[b % n_buf]                     # (1, W + 128) i32
-            off_lo = ext[:, :window]                  # (1, W)
-            off_hi = jax.lax.slice(ext, (0, 1), (1, window + 1))
+            # TRANSPOSED — slots on sublanes, window splats on lanes — so
+            # the matmul contracts on the lane dim (A @ B^T), which the
+            # MXU takes directly. Both bounds are reconstructed from the
+            # window's own u24 component rows in f32 (exact: the pipeline
+            # asserts max_isects < 2^24, and pad lanes carry
+            # OFFSET_SENTINEL so they own nothing).
+            f32 = lambda r: comps_w[r:r + 1].astype(jnp.float32)
+            off_lo = (f32(37) * 65536.0 + f32(38) * 256.0
+                      + f32(39)).astype(jnp.int32)             # (1, W)
+            off_hi = (f32(43) * 65536.0 + f32(44) * 256.0
+                      + f32(45)).astype(jnp.int32)             # (1, W)
             slots_col = slot0 + jax.lax.broadcasted_iota(
                 jnp.int32, (k_exp, 1), 0
             )                                         # (K, 1)
@@ -283,12 +309,12 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
             m3 = _c2i(out, 35)
             bws = _c2i(out, 27)
             small = bws >= 1024
-            # max(1): dead slots (possible only past `total`) are claimed
-            # by the last window splat's sentinel-extended range, so they
-            # decode that splat's REAL fields — safety comes from the
-            # `valid` (slot < total) mask on the emitted key/splat id, not
-            # from the decode. max(1) just keeps the float floor-div off a
-            # potential 0/0 when the claimed width field is 0.
+            # max(1): dead slots (possible only past `total`) own no
+            # window splat — the last live splat's upper bound is its own
+            # cum — so their one-hot column is all zero and every decoded
+            # field reads 0; max(1) keeps the float floor-div off 0/0, and
+            # the `valid` (slot < total) mask zeroes the emitted key/splat
+            # id regardless.
             w_i = jnp.maximum(bws & 1023, 1)
             # Small splats: mask bits live on the fixed 8x8 layout (static
             # shift/mask decode). Bbox splats: rank is row-major over the
@@ -346,19 +372,17 @@ def _make_expand_kernel(tiles_x: int, num_tiles: int,
     ),
 )
 def expand_pallas(
-    comps, offs_col, s_lo, total,
+    comps, s_lo, total,
     tiles_x: int, num_tiles: int, n: int, max_isects: int,
     k_exp: int = 512, interpret: bool = False, n_buf: int = 4, ablate=(),
 ):
     """Expand depth-ordered splat rows into per-slot (key, record) arrays.
 
-    comps: (COMP_ROWS, n_pad) bf16 — see build_comp_rows.
-    offs_col: (1, n_pad + 128) i32 — exclusive slot-offset per compact
-      splat (cumsum(counts) - counts), lane-major, padded past n with a
-      large sentinel. Replaces round 3's (1, max_isects) slot->splat array:
-      slot ownership is derived in-kernel from offsets windows (see
-      _make_expand_kernel), killing the XLA scatter-add + pool-scale
-      cumsum that built it.
+    comps: (COMP_ROWS, n_pad) bf16 — see build_comp_rows. Slot ownership is
+      derived in-kernel from the offset-bound component rows (37-39 lower,
+      43-45 upper) of the window itself; round 3's (1, max_isects)
+      slot->splat array and round 4's separate per-block offsets DMA are
+      both gone.
     s_lo: (num_blocks,) i32 — WINDOW_ALIGN-aligned splat-window start per
       slot block (the block's first slot's owning splat, rounded down;
       searchsorted(cum, block_starts) in raster_vjp).
@@ -368,11 +392,10 @@ def expand_pallas(
              records (PACK_ROWS, max_isects) uint32 in slot order).
     """
     assert max_isects % k_exp == 0
-    window = k_exp + 2 * WINDOW_ALIGN
+    assert max_isects < (1 << 24), "offset sentinel must exceed any slot id"
+    window = window_for(k_exp)
     assert comps.shape[0] == COMP_ROWS and comps.dtype == jnp.bfloat16
     assert comps.shape[1] >= window and comps.shape[1] % WINDOW_ALIGN == 0
-    assert offs_col.shape == (1, comps.shape[1] + WINDOW_ALIGN), offs_col.shape
-    assert offs_col.dtype == jnp.int32
     num_blocks = max_isects // k_exp
     assert s_lo.shape == (num_blocks,)
 
@@ -384,7 +407,6 @@ def expand_pallas(
         grid=(num_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, k_exp), lambda b, *_: (0, b),
@@ -394,8 +416,7 @@ def expand_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((n_buf, COMP_ROWS, window), jnp.bfloat16),
-            pltpu.VMEM((n_buf, 1, window + WINDOW_ALIGN), jnp.int32),
-            pltpu.SemaphoreType.DMA((n_buf, 2)),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
     )
     keys, recs = pl.pallas_call(
@@ -406,5 +427,5 @@ def expand_pallas(
             jax.ShapeDtypeStruct((PACK_ROWS, max_isects), jnp.uint32),
         ],
         interpret=interpret,
-    )(s_lo, total, comps, offs_col)
+    )(s_lo, total, comps)
     return keys[0], recs

@@ -235,20 +235,26 @@ def make_pallas_pipeline(
         # bf16-component stack for the expand kernel's one-hot matmul:
         # bws packs small (bit 10) above the 10-bit bbox width.
         bws = bbox_w_c | (small_c << 10)
+        # cum rides the comps stack as the one-hot upper bounds (rows
+        # 43-45): cum[i] = offsets[i+1] for live splats, and the last live
+        # splat's bound is its own cum — so the expand kernel needs ONE
+        # window DMA per block instead of round 4's comps + offsets pair
+        # (the per-block DMA issue cost measured as its largest bucket).
         comps = build_comp_rows(
             ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
             d0 & jnp.uint32(0x3FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
-            m_lo, m_hi, offsets, n_pad,
+            m_lo, m_hi, offsets, n_pad, cum=cum,
         )
 
-        # Slot ownership for the expand/segsum kernels: the exclusive
-        # offset column (padded past n with a big sentinel so pad rows own
+        # Slot ownership for the segsum kernel: the exclusive offset
+        # column (padded past n with a big sentinel so pad rows own
         # nothing) and per-block window starts from ONE small searchsorted
         # (the block's first slot's owning splat). Round 3 built a
         # (1, max_isects) slot->splat array with an N-index scatter-add +
-        # pool-scale cumsum instead — measured at ~7 ms of the forward; the
-        # kernels now derive ownership from offs_col windows in two vector
-        # compares (see expand.py docstring).
+        # pool-scale cumsum instead — measured at ~7 ms of the forward;
+        # the kernels derive ownership from offset windows in two vector
+        # compares (see expand.py docstring; the expand kernel reads the
+        # bounds from its own comps window, segsum still takes this row).
         offs_col = jnp.concatenate([
             offsets.astype(jnp.int32),
             jnp.full((n_pad + WINDOW_ALIGN - n,), 1 << 30, jnp.int32),
@@ -260,7 +266,7 @@ def make_pallas_pipeline(
 
         # --- expansion (MapGaussiansToIntersect) ---
         keys, recs = expand_pallas(
-            comps, offs_col, s_lo, total,
+            comps, s_lo, total,
             tiles_x=tiles_x, num_tiles=num_tiles,
             n=n, max_isects=max_isects, k_exp=k_exp, interpret=interpret,
         )

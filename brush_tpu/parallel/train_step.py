@@ -227,6 +227,15 @@ def make_sharded_train_step(
         num_dropped = jax.lax.psum(
             jnp.maximum(raw_total_l - pool_strip, 0).astype(jnp.int32), AXIS
         )
+        # Peak UNCLAMPED per-strip demand: drives the adaptive strip pool
+        # slack (trainer re-quantizes slack at its recompile boundaries).
+        # all_gather + max of the n_dev scalars rather than lax.pmax: this
+        # traces under value_and_grad and pmax has no differentiation rule
+        # (even for integer data).
+        strip_totals = jax.lax.all_gather(
+            jax.lax.stop_gradient(raw_total_l.astype(jnp.int32)), AXIS
+        )
+        max_strip = jnp.max(strip_totals)
 
         # Re-shard: cell-parallel -> full image for the loss.
         img_tiles_f = gather0(img_tiles_l)
@@ -236,7 +245,8 @@ def make_sharded_train_step(
         num_visible = jax.lax.psum(
             jnp.sum(proj_l.visible).astype(jnp.int32), AXIS
         )
-        return img, num_visible, num_isects, num_dropped, producing_l
+        return (img, num_visible, num_isects, num_dropped, max_strip,
+                producing_l)
 
     def _loss_xla(params, xy_dummy_l, active_l, d, gt,
                   viewmat, focal, pixel_center):
@@ -296,8 +306,10 @@ def make_sharded_train_step(
         producing_l = jax.lax.dynamic_slice(
             isect.producing, (d * rows_per,), (rows_per,)
         )
+        # Replicated binning: the pool is not strip-local, so the peak
+        # per-device demand equals the frame total.
         return (img, isect.num_visible, isect.num_isects, isect.num_dropped,
-                producing_l)
+                isect.num_isects, producing_l)
 
     loss_core = _loss_pipeline if use_pipeline else _loss_xla
 
@@ -309,7 +321,8 @@ def make_sharded_train_step(
         active_l = rows < n_live
 
         def loss_fn(params, xy_dummy_l):
-            img, num_visible, num_isects, num_dropped, producing_l = loss_core(
+            (img, num_visible, num_isects, num_dropped, max_strip,
+             producing_l) = loss_core(
                 params, xy_dummy_l, active_l, d, gt,
                 viewmat, focal, pixel_center,
             )
@@ -320,10 +333,12 @@ def make_sharded_train_step(
                 loss = l1 * (1.0 - config.ssim_weight) - ssim_val * config.ssim_weight
             else:
                 loss = l1
-            return loss, (num_visible, num_isects, num_dropped, producing_l)
+            return loss, (num_visible, num_isects, num_dropped,
+                          max_strip, producing_l)
 
         xy_dummy_l = jnp.zeros((rows_per, 2), jnp.float32)
-        ((loss, (num_visible, num_isects, num_dropped, producing_l)),
+        ((loss, (num_visible, num_isects, num_dropped, max_strip,
+                 producing_l)),
          (pgrads, xy_grads)) = (
             jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 params, xy_dummy_l
@@ -357,6 +372,7 @@ def make_sharded_train_step(
         return (
             new_params, new_opt.m, new_opt.v, new_opt.count,
             accum, counts, loss, num_visible, num_isects, num_dropped,
+            max_strip,
         )
 
     sh = P(AXIS)          # row-sharded
@@ -373,14 +389,14 @@ def make_sharded_train_step(
         ),
         out_specs=(
             params_spec, params_spec, params_spec, rep,
-            sh, sh, rep, rep, rep, rep,
+            sh, sh, rep, rep, rep, rep, rep,
         ),
         check_vma=False,
     )
 
     def step(state: TrainState, gt, viewmat, focal, pixel_center, lr_mean, step_idx):
         (new_params, m, v, count, accum, counts, loss, num_visible,
-         num_isects, num_dropped) = (
+         num_isects, num_dropped, max_strip) = (
             sharded(
                 state.splats.params(), state.opt.m, state.opt.v, state.opt.count,
                 state.grad_2d_accum, state.xy_grad_counts, state.splats.n_live,
@@ -395,7 +411,7 @@ def make_sharded_train_step(
         )
         return new_state, StepStats(
             loss=loss, num_visible=num_visible, num_isects=num_isects,
-            num_dropped=num_dropped,
+            num_dropped=num_dropped, max_strip_isects=max_strip,
         )
 
     return jax.jit(step)

@@ -45,24 +45,82 @@ class ShardedTrainer(SplatTrainer):
 
     def __init__(self, mesh, config: TrainConfig | None = None,
                  raster_block_size: int = 128, backend: str = "auto",
-                 strip_pool_slack: float = 2.0, raster_cell=(1, 1)):
+                 strip_pool_slack: float = 2.0, raster_cell=(1, 1),
+                 adaptive_slack: bool = True):
         super().__init__(config, raster_block_size=raster_block_size,
                          raster_cell=raster_cell)
         self.mesh = mesh
         self.backend = backend
+        # strip_pool_slack is the STARTING (and, adaptively, the maximum)
+        # per-strip pool over-provision factor. With adaptive_slack the
+        # trainer re-quantizes it from the measured peak strip share
+        # (StepStats.max_strip_isects x n_dev / num_isects) at its existing
+        # recompile boundaries, so a balanced scene stops paying 2x on
+        # every pool-scale stage: slack drives per-device pool size, which
+        # drives the expand/tile-sort/raster/backward work per device (the
+        # round-4 verdict's 8-device efficiency projection charged the
+        # fixed 2.0 with dropping it from ~54% to ~38%).
         self.strip_pool_slack = strip_pool_slack
+        self.adaptive_slack = adaptive_slack
+        self._slack_q = strip_pool_slack  # current quantized value
+        self._peak_strip_frac = 0.0
 
     # ------------------------------------------------------------------ #
 
     def init_state(self, splats: Splats) -> TrainState:
         return shard_state(super().init_state(splats), self.mesh)
 
+    SLACK_STEP = 0.25   # quantization of adaptive slack (recompile unit)
+    SLACK_MIN = 1.25    # never size a strip pool below 1.25x its ideal share
+    SLACK_MARGIN = 1.3  # headroom over the measured peak strip share
+
+    def _observe_stats(self, stats):
+        """Track the peak strip-load imbalance from the last step's stats."""
+        total = max(int(stats.num_isects), 1)
+        frac = int(stats.max_strip_isects) * self.mesh.size / total
+        self._peak_strip_frac = max(self._peak_strip_frac, frac)
+
+    def _retune_slack(self):
+        """Re-quantize the strip pool slack from the observed peak share.
+
+        Called only where a recompile can already happen (refine
+        boundaries / pool growth), so adaptation never adds compile churn
+        mid-window. Slack can shrink toward the measured imbalance or grow
+        back up to the configured starting value; overflow beyond it still
+        grows the WHOLE pool via the base trainer's drop response.
+        """
+        if not self.adaptive_slack or self._peak_strip_frac <= 0.0:
+            return
+        q = self.SLACK_STEP
+        target = -(-self._peak_strip_frac * self.SLACK_MARGIN // q) * q
+        target = min(max(target, self.SLACK_MIN), self.strip_pool_slack)
+        if target != self._slack_q:
+            self._slack_q = target
+
+    def step(self, state, batch):
+        state, stats = super().step(state, batch)
+        self._observe_stats(stats)
+        # The base class syncs on refine boundaries; retune there so the
+        # next _get_step_fn call (next step) picks the new slack key.
+        if self.last_refine_stats is not None or (
+                self._prev_stats is not None
+                and int(self._prev_stats.num_dropped) > 0):
+            self._retune_slack()
+        return state, stats
+
+    def _get_step_fn(self, *key):
+        # Include the quantized slack in the jit cache key: a retuned
+        # slack is a different pool size, hence a different executable.
+        return super()._get_step_fn(*key, self._slack_q)
+
     def _build_step_fn(self, capacity: int, img_size: tuple, channels: int,
-                       sh_count: int, max_isects: int):
+                       sh_count: int, max_isects: int,
+                       slack: float | None = None):
         step = make_sharded_train_step(
             self.mesh, self.config, capacity, img_size, channels, sh_count,
             max_isects=max_isects, block_size=self.raster_block_size,
-            backend=self.backend, strip_pool_slack=self.strip_pool_slack,
+            backend=self.backend,
+            strip_pool_slack=slack if slack is not None else self._slack_q,
             cell=self.raster_cell,
         )
 

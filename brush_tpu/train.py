@@ -69,6 +69,11 @@ class StepStats(NamedTuple):
     num_visible: jnp.ndarray
     num_isects: jnp.ndarray
     num_dropped: jnp.ndarray  # records lost to intersection-pool overflow
+    # Peak per-device record demand (sharded step: max over strips of the
+    # UNCLAMPED strip record count; single device: num_isects). Drives the
+    # ShardedTrainer's adaptive strip_pool_slack. Plain-int default so
+    # importing this module never touches the device backend.
+    max_strip_isects: jnp.ndarray | int = 0
 
 
 class RefineStats(NamedTuple):
@@ -325,6 +330,7 @@ class SplatTrainer:
             return new_state, StepStats(
                 loss=loss, num_visible=aux.num_visible,
                 num_isects=aux.num_isects, num_dropped=aux.num_dropped,
+                max_strip_isects=aux.num_isects,  # one device = one strip
             )
 
         return jax.jit(step_fn)

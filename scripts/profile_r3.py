@@ -154,17 +154,13 @@ def make_staged(cp, stage):
         comps = build_comp_rows(
             ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
             d0 & jnp.uint32(0x3FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
-            m_lo, m_hi, offsets, n_pad_l)
-        offs_col = jnp.concatenate([
-            offsets.astype(jnp.int32),
-            jnp.full((n_pad_l + WINDOW_ALIGN - n,), 1 << 30, jnp.int32),
-        ])[None, :]
+            m_lo, m_hi, offsets, n_pad_l, cum=cum)
         starts_blk = jnp.arange(MAX_ISECTS // K_EXP, dtype=jnp.int32) * K_EXP
         w0 = jnp.searchsorted(cum, starts_blk, side="right").astype(jnp.int32)
         s_lo = jnp.clip((w0 // WINDOW_ALIGN) * WINDOW_ALIGN, 0,
                         n_pad_l - window)
         keys, recs = expand_pallas(
-            comps, offs_col, s_lo, total, tiles_x=tiles_x,
+            comps, s_lo, total, tiles_x=tiles_x,
             num_tiles=num_tiles, n=n, max_isects=MAX_ISECTS, k_exp=K_EXP)
         if stage == "expand":
             return keys, recs, total

@@ -103,16 +103,12 @@ def build_expand_inputs(cp, args, window_max: int):
         comps = build_comp_rows(
             ops[1], ops[2], ops[3], ops[4], ops[5], ops[6], ops[7],
             d0 & jnp.uint32(0x3FF), (d0 >> 11) & jnp.uint32(0x7FF), bws,
-            m_lo, m_hi, offsets, n_pad)
-        offs_col = jnp.concatenate([
-            offsets.astype(jnp.int32),
-            jnp.full((n_pad + WINDOW_ALIGN - n,), 1 << 30, jnp.int32),
-        ])[None, :]
-        return comps, offs_col, cum, total
+            m_lo, m_hi, offsets, n_pad, cum=cum)
+        return comps, cum, total
 
-    comps, offs_col, cum, total = jax.jit(fn)(*args)
+    comps, cum, total = jax.jit(fn)(*args)
     jax.block_until_ready(comps)
-    return comps, offs_col, cum, total, n_pad
+    return comps, cum, total, n_pad
 
 
 def s_lo_for(cum, k_exp: int, n_pad: int):
@@ -166,8 +162,7 @@ def run_expand():
     cp, args = build_inputs()
     print("building expand inputs (one pipeline compile)...", flush=True)
     window_max = 1024 + 2 * WINDOW_ALIGN
-    comps, offs_col, cum, total, n_pad = build_expand_inputs(
-        cp, args, window_max)
+    comps, cum, total, n_pad = build_expand_inputs(cp, args, window_max)
     print(f"expand inputs: comps {comps.shape}, total "
           f"{int(np.asarray(total)[0])}", flush=True)
     s_lo_512 = s_lo_for(cum, 512, n_pad)
@@ -177,12 +172,12 @@ def run_expand():
     def variant(name, k_exp=512, **kw):
         s_lo = s_lo_512 if k_exp == 512 else s_lo_1024
 
-        def fn(comps_, offs_, s_lo_, total_):
+        def fn(comps_, s_lo_, total_):
             return expand_pallas(
-                comps_, offs_, s_lo_, total_, tiles_x=TILES_X,
+                comps_, s_lo_, total_, tiles_x=TILES_X,
                 num_tiles=NUM_TILES, n=N, max_isects=MAX_ISECTS,
                 k_exp=k_exp, **kw)
-        dt = median_time(fn, (comps, offs_col, s_lo, total))
+        dt = median_time(fn, (comps, s_lo, total))
         report(name, dt)
         return dt
 

@@ -18,6 +18,54 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def project_efficiency(stages_ms: dict, n_dev: int, slack: float,
+                       n_splats: int = 1 << 20, ici_gbps: float = 90.0):
+    """Analytic N-device projection from measured single-chip stage buckets.
+
+    The sharded step's stages scale three different ways (see
+    parallel/train_step.py dataflow):
+      - gaussian-sharded (projection/SH/pretest): / n_dev
+      - replicated N-scale (depth sort + sort prep; backward's
+        compact->global inversion sort): unchanged
+      - pool-scale (expand, tile sort, raster, bwd raster, segsum, grad
+        sort): x slack / n_dev — each device's pool holds its strip's
+        records with `slack` over-provision
+    plus ICI collectives: the attrs/meta all_gather (15 rows x N x 4 B in),
+    the image tile all_gather, and the cotangent reduce-scatter (9 rows).
+
+    stages_ms keys: proj (gaussian-sharded), sort_rep (replicated),
+    pool (pool-scale), per direction: {"fwd": {...}, "bwd": {...}} or a
+    flat dict treated as fwd-only.
+
+    Returns {n_dev, t_ms, speedup, efficiency} vs the 1-device sum.
+    """
+    def split(d):
+        return d.get("proj", 0.0), d.get("sort_rep", 0.0), d.get("pool", 0.0)
+
+    dirs = stages_ms if "fwd" in stages_ms else {"fwd": stages_ms}
+    t1 = sum(sum(split(d)) for d in dirs.values())
+    ici_ms = 0.0
+    if n_dev > 1:
+        # Bytes that cross ICI per step per device (inbound, tiled
+        # all_gather): 15 attr/meta rows + 9 cotangent rows, f32/u32.
+        rows = 15 + (9 if "bwd" in dirs else 0)
+        ici_ms = rows * n_splats * 4 * (n_dev - 1) / n_dev / (
+            ici_gbps * 1e9) * 1e3
+    t_n = ici_ms
+    for d in dirs.values():
+        proj, rep, pool = split(d)
+        # A strip pool never exceeds the frame pool: pool_strip =
+        # min(max_isects, max_isects * slack / n_dev) in train_step.py.
+        t_n += proj / n_dev + rep + pool * min(1.0, slack / n_dev)
+    return {
+        "n_dev": n_dev,
+        "t_ms": round(t_n, 2),
+        "ici_ms": round(ici_ms, 2),
+        "speedup": round(t1 / t_n, 2) if t_n else None,
+        "efficiency": round(t1 / t_n / n_dev, 3) if t_n else None,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", type=int, default=0,
@@ -88,6 +136,24 @@ def main():
         print(f"devices={n:2d}  {dt*1e3:8.1f} ms/step  {rates[n]:6.2f} it/s"
               f"  scaling efficiency {eff:5.1f}%", flush=True)
         n *= 2
+
+    # Analytic projection from the latest measured single-chip stage
+    # buckets (docs/PERFORMANCE.md round-5 table) — the number the
+    # CPU-mesh plumbing above cannot produce (its timing is not
+    # meaningful off hardware). Buckets: proj = gaussian-sharded,
+    # sort_rep = replicated N-scale sorts, pool = pool-scale stages.
+    print("\nanalytic projection from measured single-chip stage buckets"
+          " (1M splats, 1024^2, docs/PERFORMANCE.md r5):")
+    stages = {
+        "fwd": {"proj": 6.5, "sort_rep": 6.6, "pool": 41.1},
+        "bwd": {"proj": 1.0, "sort_rep": 5.5, "pool": 45.0},
+    }
+    for nd in (1, 2, 4, 8, 16):
+        for slack in (2.0, 1.3):
+            p = project_efficiency(stages, nd, slack)
+            print(f"  n_dev={nd:2d} slack={slack}: {p['t_ms']:7.2f} ms "
+                  f"(ici {p['ici_ms']:5.2f}) speedup {p['speedup']:5.2f} "
+                  f"efficiency {p['efficiency']:.0%}")
 
 
 if __name__ == "__main__":
