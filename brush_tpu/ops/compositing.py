@@ -55,7 +55,9 @@ def _alpha_terms(pix: jnp.ndarray, blk: SplatBlock):
     dx, dy = delta[..., 0], delta[..., 1]
     cx, cy, cz = blk.conic[:, 0], blk.conic[:, 1], blk.conic[:, 2]
     sigma = 0.5 * (cx * dx * dx + cz * dy * dy) + cy * dx * dy
-    vis = jnp.exp(-sigma)
+    # Clamped exp (see ops/pallas/rasterize_fwd.py): keeps autodiff through
+    # the masked lanes finite when a det<0 conic sends sigma below -88.
+    vis = jnp.exp(-jnp.maximum(sigma, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, blk.opac * vis)
     ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & blk.valid
     return jnp.where(ok, alpha, 0.0), vis, delta

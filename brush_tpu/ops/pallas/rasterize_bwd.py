@@ -175,7 +175,13 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
             b_s = _splat_basis(dec, cx_t, cy_t)
             sigma = jnp.dot(a_p, b_s, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-            vis = jnp.exp(-sigma)
+            # Clamped exp (see rasterize_fwd): det<0 conics push sigma to
+            # large negatives at masked pixels; raw exp overflows to inf and
+            # v_sigma = -opac * inf * (v_alpha = 0) = NaN — the exact
+            # poisoning that killed the 2026-08-20 castle run at step ~3026
+            # (one hyperbolic splat NaN'd 3 tiles, then Adam spread it to
+            # every live row within 20 steps).
+            vis = jnp.exp(-jnp.maximum(sigma, 0.0))
             opac = dec[8]
             alpha = jnp.minimum(ALPHA_MAX, opac * vis)
             ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok

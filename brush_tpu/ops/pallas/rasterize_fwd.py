@@ -397,7 +397,15 @@ def _make_kernel(tiles_x: int, k_lanes: int,
                 if "trans" in ablate:
                     vis = jnp.maximum(0.0, 1.0 - 0.5 * sigma)
                 else:
-                    vis = jnp.exp(-sigma)
+                    # Clamp BEFORE exp: f32 cancellation in the projection
+                    # can emit conics with det < 0 (hyperbolas), whose sigma
+                    # reaches large NEGATIVE values at some pixels; raw
+                    # exp(-sigma) then overflows to inf and inf * (masked 0)
+                    # = NaN. `ok` requires sigma >= 0, so every contributing
+                    # lane is bit-identical. The reference's scalar loop
+                    # skips sigma < 0 before ever calling exp
+                    # (rasterize.wgsl:80-85); this is that skip, vectorized.
+                    vis = jnp.exp(-jnp.maximum(sigma, 0.0))
                 opac = dec[8]                                # (1, K)
                 alpha = jnp.minimum(ALPHA_MAX, opac * vis)
                 ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_ok

@@ -57,7 +57,10 @@ def _block_alpha(pix, bxy, bconic, bopac, lane_mask):
     cy = bconic[:, None, :, 1]
     cz = bconic[:, None, :, 2]
     sigma = 0.5 * (cx * dx * dx + cz * dy * dy) + cy * dx * dy
-    vis = jnp.exp(-sigma)
+    # Clamped exp (see ops/pallas/rasterize_fwd.py): sigma < 0 lanes are
+    # masked by `ok`, but a det<0 conic can push sigma below -88 where raw
+    # exp(-sigma) is inf and the backward's v_sigma = -opac*vis*(0) = NaN.
+    vis = jnp.exp(-jnp.maximum(sigma, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, bopac[:, None, :] * vis)
     ok = (sigma >= 0.0) & (alpha >= ALPHA_EPS) & lane_mask[:, None, :]
     return jnp.where(ok, alpha, 0.0), vis, dx, dy, cx, cy, cz
