@@ -139,6 +139,10 @@ def main():
 
     import jax
 
+    from brush_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     # Smoke-test override (CI/CPU): the axon plugin ignores JAX_PLATFORMS,
     # only an in-process config update reroutes to CPU. Unset = the real
     # chip (driver default).

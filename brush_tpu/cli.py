@@ -434,6 +434,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from brush_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     args.fn(args)
 
 

@@ -88,7 +88,10 @@ def composite_fwd_block(pix: jnp.ndarray, carry: CompositeCarry, blk: SplatBlock
     act = (log_t_after > LOG_T_EPS) & (carry.alive[:, None] > 0.0)
     t_before = jnp.exp(log_t_after - log_one_minus)
     fac = alpha * t_before * act
-    rgb = carry.rgb + fac @ blk.color
+    # HIGHEST: TPU's default f32 matmul precision is bf16 (see
+    # rasterize_tiled); the oracle must stay f32-exact.
+    rgb = carry.rgb + jnp.matmul(fac, blk.color,
+                                 precision=jax.lax.Precision.HIGHEST)
     log_t = carry.log_t + jnp.sum(log_one_minus * act, axis=1)
     alive = carry.alive * (log_t_after[:, -1] > LOG_T_EPS)
     return CompositeCarry(log_t=log_t, rgb=rgb, alive=alive)

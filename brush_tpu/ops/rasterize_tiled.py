@@ -109,7 +109,13 @@ def make_rasterizer(tiles_x: int, num_tiles: int, max_isects: int, block_size: i
             t_before = jnp.exp(log_t_after - lom)
             fac = alpha * t_before * act
 
-            rgb = rgb + jnp.einsum("tpk,tkc->tpc", fac, bcolor)
+            # HIGHEST: on TPU the default einsum precision is bf16 on the
+            # MXU — a 2^-8 relative error per term that accumulates over
+            # hundreds of records per pixel (measured 0.196 max image
+            # divergence vs the exact pipeline at 512^2/85k records). This
+            # path is the correctness baseline; it must be f32-exact.
+            rgb = rgb + jnp.einsum("tpk,tkc->tpc", fac, bcolor,
+                                   precision=jax.lax.Precision.HIGHEST)
             log_t = log_t + jnp.sum(lom * act, axis=-1)
             alive = alive & (log_t_after[..., -1] > LOG_T_EPS)
 
@@ -195,7 +201,8 @@ def make_rasterizer(tiles_x: int, num_tiles: int, max_isects: int, block_size: i
             t_before = jnp.exp(log_t_after - m)
             fac = alpha * t_before * act
 
-            cw = jnp.einsum("tpc,tkc->tpk", v_rgb, bcolor)
+            cw = jnp.einsum("tpc,tkc->tpk", v_rgb, bcolor,
+                            precision=jax.lax.Precision.HIGHEST)
             contrib = cw * fac
             c_inc = jnp.cumsum(contrib, axis=-1)
             c_tot = c_inc[..., -1]
@@ -224,7 +231,8 @@ def make_rasterizer(tiles_x: int, num_tiles: int, max_isects: int, block_size: i
                 ],
                 axis=-1,
             )
-            g_color = jnp.einsum("tpk,tpc->tkc", fac, v_rgb)
+            g_color = jnp.einsum("tpk,tpc->tkc", fac, v_rgb,
+                                 precision=jax.lax.Precision.HIGHEST)
             g_opac = jnp.sum(vis * v_alpha * act, axis=1)
 
             flat_gid = gid.reshape(-1)

@@ -37,12 +37,17 @@ class Ssim:
 
     def _blur(self, img_nchw: jnp.ndarray) -> jnp.ndarray:
         p = self.padding
+        # HIGHEST: TPU lowers default-precision f32 convs to bf16 on the
+        # MXU; the 121-tap window sums would carry ~2^-8-relative noise
+        # straight into the training loss and its gradients. The reference
+        # computes SSIM in f32 (ssim.rs).
         return jax.lax.conv_general_dilated(
             img_nchw,
             self.weights,
             window_strides=(1, 1),
             padding=((p, p), (p, p)),
             feature_group_count=self.channels,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def ssim(self, img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
