@@ -1,9 +1,11 @@
 """Pallas TPU backward rasterizer.
 
-Mirrors rasterize_backwards.wgsl: one grid step per tile, a single
-back-to-front sweep reconstructing transmittance by division
-(rasterize_backwards.wgsl:247-248) and the reference's v_alpha / v_sigma /
-v_xy / v_conic chain (:253-270). The reference's atomic gradient machinery
+Mirrors rasterize_backwards.wgsl: a single back-to-front sweep per tile
+reconstructing transmittance by division (rasterize_backwards.wgsl:247-248)
+and the reference's v_alpha / v_sigma / v_xy / v_conic chain (:253-270),
+with several tiles' sweeps fused into ONE while_loop per grid step (the
+round-5 fused-loop redesign shared with rasterize_fwd — see
+_make_bwd_kernel). The reference's atomic gradient machinery
 (subgroup sums + workgroup queues + CAS loops, :32-135) is replaced by:
 
 - per-splat pixel reductions as two MXU matmuls: all required moments of
@@ -54,15 +56,32 @@ ZERO_MULT = 4   # batches zero-filled per DMA from the wide zero scratch
 def _make_bwd_kernel(tiles_x: int, k_lanes: int,
                      tiles_per_step: int = 1, n_buf: int = 4,
                      scan_passes: int = 3, cell=(1, 1)):
+    """ONE fused while_loop per grid step over the (tile, batch) sequence
+    (same redesign as rasterize_fwd, measured rationale in profile_r5 /
+    docs/PERFORMANCE.md round 5): per-tile while_loops + a DMA pipe that
+    reset at every tile boundary exposed loop setup and HBM latency on
+    every ~1-batch tile. The backward's sequence is fully DETERMINISTIC
+    (its per-tile batch count nb_eff comes from final_index, not from a
+    data-dependent early-out), so unlike the forward there is no discard
+    path: an issue cursor walks tiles ascending / batches DESCENDING
+    (back-to-front sweep) and consume follows by counter.
+
+    Per-tile output machinery is preserved as loop phases: the suffix
+    zero-fill and ring drain run in the tile-TRANSITION iteration, batch
+    processing (with the batch-0 leading-boundary merge) in the others.
+    Tile t+1's zero-fill can overwrite tile t's zero-masked overhang only
+    after tile t's ring writes drained — the transition order guarantees
+    it, as the per-tile code did.
+    """
+    p = TILE_SIZE * cell[0] * cell[1]
+    g_tiles = tiles_per_step
+
     def kernel(starts_ref, ends_ref, tile_ids_ref,
                packed_hbm, vout_ref, logt_ref, fidx_ref,
                grads_hbm,
                buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem):
-        # Several tiles per grid step (see rasterize_fwd): the sweep is
-        # strictly sequential within a step, so the cross-tile
-        # leading-boundary merge keeps its ordering guarantee.
         step = pl.program_id(0)
-        # Tile-independent pixel bases: once per grid step, not per tile.
+        t0 = step * g_tiles
         a_p = _pixel_basis_a(cell=cell)
         px = a_p[:, 3:4]
         py = a_p[:, 4:5]
@@ -70,47 +89,34 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
         zero = jnp.zeros_like(one)
         # Pixel moment basis W: (P, 8) = [1, px, py, px^2, py^2, px*py, 0, 0].
         w_mom = jnp.concatenate(
-            [one, px, py, a_p[:, 0:1], a_p[:, 1:2], a_p[:, 2:3], zero, zero], axis=1
-        )
-        for g in range(tiles_per_step):
-            _run_tile(step * tiles_per_step + g, g, a_p, w_mom,
-                      starts_ref, ends_ref, tile_ids_ref, packed_hbm,
-                      vout_ref, logt_ref, fidx_ref, grads_hbm,
-                      buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem)
-
-    def _run_tile(t, g, a_p, w_mom, starts_ref, ends_ref, tile_ids_ref,
-                  packed_hbm, vout_ref, logt_ref, fidx_ref,
-                  grads_hbm,
-                  buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem):
-        start = starts_ref[t]
-        end = ends_ref[t]
-        base = pl.multiple_of((start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN)
-        cx_t, cy_t = _tile_center(tile_ids_ref, t, tiles_x, cell=cell)
-
-        v_out = vout_ref[g]                  # (P, 4)
-        v_rgb = v_out[:, 0:3]                # (P, 3)
-        v_a = v_out[:, 3:4]                  # (P, 1)
-        log_t_final = logt_ref[g]            # (P, 1)
-        t_final = jnp.exp(log_t_final)
-        fidx = fidx_ref[g]                   # (P, 1) int32
-
-        num_batches = jnp.where(
-            end > start, pl.cdiv(end - base, k_lanes), 0
+            [one, px, py, a_p[:, 0:1], a_p[:, 1:2], a_p[:, 2:3], zero, zero],
+            axis=1,
         )
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
+        zbuf[:, :] = jnp.zeros((GRAD_ROWS, ZERO_MULT * k_lanes), jnp.float32)
 
-        # Batches wholly past every pixel's final contribution (the forward
-        # early-out) produce all-zero gradient records — write zeros for
-        # that suffix instead of computing it. Batch 0 always takes the
-        # compute path so its leading-boundary merge runs.
-        max_f = jnp.max(fidx)
-        nb_eff = jnp.minimum(
-            num_batches,
-            pl.cdiv(jnp.maximum(max_f + 1 - base, 0), k_lanes),
-        )
-        zstart = jnp.maximum(nb_eff, 1)
+        def rng(g):
+            """start/end/base/num_batches/first of in-step tile g.
 
-        def dma_in(slot, b):
+            `first` (the highest batch the compute sweep touches, from the
+            tile's max final_index) is -1 for empty tiles.
+            """
+            start = starts_ref[t0 + g]
+            end = ends_ref[t0 + g]
+            base = pl.multiple_of(
+                (start // LANE_ALIGN) * LANE_ALIGN, LANE_ALIGN
+            )
+            nb = jnp.where(end > start, pl.cdiv(end - base, k_lanes), 0)
+            max_f = jnp.max(fidx_ref[pl.ds(g, 1)])
+            nb_eff = jnp.minimum(
+                nb, pl.cdiv(jnp.maximum(max_f + 1 - base, 0), k_lanes)
+            )
+            # Batch 0 always takes the compute path (boundary merge).
+            first = jnp.where(nb > 0, jnp.maximum(nb_eff, 1) - 1, -1)
+            return start, end, base, nb, first
+
+        def dma_in(slot, g, b):
+            _, _, base, _, _ = rng(g)
             off = base + b * k_lanes
             return pltpu.make_async_copy(
                 packed_hbm.at[:, pl.ds(off, k_lanes)],
@@ -118,54 +124,89 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
                 in_sem.at[slot],
             )
 
-        first = zstart - 1  # highest batch the compute sweep touches
+        def refill(ci, ni, gp, bp):
+            """Top the input pipe to n_buf-1 outstanding copies; the
+            cursor walks tiles ascending, batches first..0 descending.
+            bp == -1 means 'enter the next tile'."""
+            def r_cond(c):
+                ci, ni, gp, bp = c
+                return (ni - ci < n_buf - 1) & (gp < g_tiles)
 
-        @pl.when(num_batches > 0)
-        def _():
-            # Zero the skipped suffix ZERO_MULT batches per ping-ponged
-            # async copy (the output pool carries ZERO_MULT*k_lanes slack,
-            # so the last window may overshoot num_batches harmlessly —
-            # those lanes belong to later tiles, which run afterwards).
-            zbuf[:, :] = jnp.zeros((GRAD_ROWS, ZERO_MULT * k_lanes),
-                                   jnp.float32)
-            nz = pl.cdiv(num_batches - zstart, ZERO_MULT)
+            def r_body(c):
+                ci, ni, gp, bp = c
+                issue = bp >= 0
 
-            def zdma(i):
-                off = base + (zstart + i * ZERO_MULT) * k_lanes
-                return pltpu.make_async_copy(
-                    zbuf,
-                    grads_hbm.at[:, pl.ds(off, ZERO_MULT * k_lanes)],
-                    out_sem.at[i % 2],
-                )
-
-            def zero_body(i, _):
-                @pl.when(i >= 2)
+                @pl.when(issue)
                 def _():
-                    zdma(i - 2).wait()
-                zdma(i).start()
-                return 0
+                    dma_in(ni % n_buf, gp, bp).start()
+                ni = jnp.where(issue, ni + 1, ni)
+                gp_n = jnp.where(issue, gp, gp + 1)
+                first_n = jnp.where(
+                    gp_n < g_tiles,
+                    rng(jnp.minimum(gp_n, g_tiles - 1))[4], -1,
+                )
+                bp = jnp.where(issue, bp - 1, first_n)
+                return (ci, ni, gp_n, bp)
 
-            jax.lax.fori_loop(0, nz, zero_body, 0)
-            for j in range(2):
-                @pl.when(nz > j)
-                def _(j=j):
-                    zdma(jnp.maximum(nz - 1 - j, 0)).wait()
+            return jax.lax.while_loop(r_cond, r_body, (ci, ni, gp, bp))[1:]
 
-            # Prime the input pipe: batches first, first-1, ...
-            for j in range(n_buf - 1):
-                @pl.when(first - j >= 0)
-                def _(j=j):
-                    dma_in((first - j) % n_buf, first - j).start()
+        def zero_fill(g):
+            """Write the skipped suffix's zeros, ZERO_MULT batches per
+            ping-ponged copy (self-draining; uses the same out_sem ring
+            AFTER the previous tile's ring writes drained)."""
+            start, end, base, nb, first = rng(g)
+            zstart = first + 1
 
-        def body(carry):
-            b, log_t_end, s_behind = carry
-
-            @pl.when(b - (n_buf - 1) >= 0)
+            @pl.when(nb > 0)
             def _():
-                dma_in((b - (n_buf - 1)) % n_buf, b - (n_buf - 1)).start()
+                nz = pl.cdiv(nb - zstart, ZERO_MULT)
 
-            dma_in(b % n_buf, b).wait()
-            blk = buf[b % n_buf]  # (8, K) u32
+                def zdma(i):
+                    off = base + (zstart + i * ZERO_MULT) * k_lanes
+                    return pltpu.make_async_copy(
+                        zbuf,
+                        grads_hbm.at[:, pl.ds(off, ZERO_MULT * k_lanes)],
+                        out_sem.at[i % 2],
+                    )
+
+                def zero_body(i, _):
+                    @pl.when(i >= 2)
+                    def _():
+                        zdma(i - 2).wait()
+                    zdma(i).start()
+                    return 0
+
+                jax.lax.fori_loop(0, nz, zero_body, 0)
+                for j in range(2):
+                    @pl.when(nz > j)
+                    def _(j=j):
+                        zdma(jnp.maximum(nz - 1 - j, 0)).wait()
+
+        def drain(g):
+            """Retire tile g's outstanding ring writes (batches 0 and 1)."""
+            _, _, base, nb, first = rng(g)
+            for j in range(2):
+                @pl.when((nb > 0) & (j <= first))
+                def _(j=j):
+                    woff = base + j * k_lanes
+                    pltpu.make_async_copy(
+                        gbuf.at[(first - j) % 2],
+                        grads_hbm.at[:, pl.ds(woff, k_lanes)],
+                        out_sem.at[(first - j) % 2],
+                    ).wait()
+
+        def process(g, b, ci, log_t_end, s_behind):
+            start, end, base, nb, first = rng(g)
+            cx_t, cy_t = _tile_center(tile_ids_ref, t0 + g, tiles_x,
+                                      cell=cell)
+            v_out = vout_ref[pl.ds(g, 1)][0]     # (P, 4)
+            v_rgb = v_out[:, 0:3]
+            v_a = v_out[:, 3:4]
+            t_final = jnp.exp(logt_ref[pl.ds(g, 1)][0])
+            fidx = fidx_ref[pl.ds(g, 1)][0]      # (P, 1) int32
+
+            dma_in(ci % n_buf, g, b).wait()
+            blk = buf[ci % n_buf]  # (8, K) u32
             dec = unpack_record_rows(blk)
 
             off = base + b * k_lanes
@@ -298,32 +339,57 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
             gbuf[(first - b) % 2] = jnp.where(keep_prev, mbuf[:, :], vals)
             wdma(b).start()
 
-            return (b - 1, log_t_end - m_tot, s_behind + c_tot)
+            return (g, b - 1, ci + 1,
+                    log_t_end - m_tot, s_behind + c_tot)
+
+        def body(carry):
+            (g, b, ci, ni, gp, bp, log_t_end, s_behind) = carry
+            # b < 0: tile g's sweep is complete (or g == -1 at entry) —
+            # transition: retire g's ring writes, then enter tile g+1
+            # (suffix zero-fill + fresh carry). Ordering: the drain must
+            # precede the next tile's zero-fill (shared out_sem ring) AND
+            # its batch-0 boundary read-back — both guaranteed here by the
+            # transition running them sequentially, exactly as the per-tile
+            # code did across _run_tile calls.
+            trans = b < 0
+
+            def do_trans(g, b, ci, log_t_end, s_behind):
+                @pl.when(g >= 0)
+                def _():
+                    drain(g)
+                gn = g + 1
+
+                @pl.when(gn < g_tiles)
+                def _():
+                    zero_fill(gn)
+                gs = jnp.minimum(gn, g_tiles - 1)
+                lt = logt_ref[pl.ds(gs, 1)][0]      # (P, 1)
+                # Empty tiles enter with first = -1 and transition again
+                # next iteration; past the last tile the clamped values are
+                # garbage but the loop cond (g < g_tiles) exits first.
+                return (gn, rng(gs)[4], ci, lt,
+                        jnp.zeros_like(s_behind))
+
+            state = jax.lax.cond(
+                trans, do_trans, process, g, b, ci, log_t_end, s_behind
+            )
+            g, b, ci, log_t_end, s_behind = state
+            ni, gp, bp = refill(ci, ni, gp, bp)
+            return (g, b, ci, ni, gp, bp, log_t_end, s_behind)
 
         def cond(carry):
-            return carry[0] >= 0
+            return carry[0] < g_tiles
 
-        p = TILE_SIZE * cell[0] * cell[1]
-        # Start at the last effective batch: the skipped suffix has no act
-        # lanes, so the carry (log_t_end, s_behind) is unchanged across it.
+        i0 = jnp.zeros((), jnp.int32)
+        # Prime the pipe from tile 0's deepest compute batch; refill walks
+        # forward through empty tiles on its own (bp == -1 advances).
+        init_cursors = refill(i0, i0, i0, rng(0)[4])
+        zlt = jnp.zeros((p, 1), jnp.float32)
         init = (
-            jnp.where(num_batches > 0, first, -1),
-            log_t_final,
-            jnp.zeros((p, 1), jnp.float32),
+            jnp.full((), -1, jnp.int32), jnp.full((), -1, jnp.int32), i0,
+            *init_cursors, zlt, zlt,
         )
         jax.lax.while_loop(cond, body, init)
-
-        # Drain this tile's outstanding writes (batches 0 and 1) so the
-        # next tile's boundary read/write cannot race them.
-        for j in range(2):
-            @pl.when((num_batches > 0) & (j <= first))
-            def _(j=j):
-                woff = base + j * k_lanes
-                pltpu.make_async_copy(
-                    gbuf.at[(first - j) % 2],
-                    grads_hbm.at[:, pl.ds(woff, k_lanes)],
-                    out_sem.at[(first - j) % 2],
-                ).wait()
 
     return kernel
 
