@@ -14,6 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+from brush_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from brush_tpu.camera import Camera

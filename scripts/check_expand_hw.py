@@ -15,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+from brush_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from brush_tpu.camera import Camera
@@ -46,7 +48,15 @@ def main():
         quats / np.linalg.norm(quats, axis=-1, keepdims=True), jnp.float32)
     colors = rng.uniform(0, 1, size=(N, 3))
     sh = jnp.asarray((colors[:, None, :] - 0.5) / SH_C0, jnp.float32)
-    opac = jnp.asarray(rng.uniform(0.2, 0.9, N), jnp.float32)
+    if os.environ.get("SIGMOID_OPAC"):
+        # exact check_pipe_xla scene: raw-logit draws + sigmoid
+        import jax.nn
+        opac_raw = jnp.asarray(
+            np.log(rng.uniform(0.2, 0.9, N) / (1 - rng.uniform(0.2, 0.9, N))),
+            jnp.float32)
+        opac = jax.nn.sigmoid(opac_raw)
+    else:
+        opac = jnp.asarray(rng.uniform(0.2, 0.9, N), jnp.float32)
 
     cam = Camera(position=[0, 0, -8], rotation=[1, 0, 0, 0],
                  fov_x=np.pi / 2, fov_y=np.pi / 2)
@@ -174,6 +184,12 @@ def main():
     di = np.abs(img_hw - img_it)
     print(f"fwd raster img hw-vs-interpret: max {di.max():.2e} "
           f"mean {di.mean():.2e}")
+    np.savez("/tmp/raster_cmp.npz", img_hw=img_hw, img_it=img_it,
+             lt_hw=lt_hw, lt_it=lt_it, fx_hw=fx_hw, fx_it=fx_it,
+             starts=np.asarray(starts), ends=np.asarray(ends))
+    print("per-channel max diff:",
+          [f"{np.abs(img_hw[..., c] - img_it[..., c]).max():.2e}"
+           for c in range(4)])
     if di.max() > 1e-6:
         tmax = di.reshape(num_tiles, -1).max(axis=1)
         bad = np.flatnonzero(tmax > 1e-6)

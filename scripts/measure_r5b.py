@@ -16,6 +16,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+from brush_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 
@@ -99,6 +101,8 @@ def run_raster(cp, args):
     variant("fwd raster FUSED tps32", tiles_per_step=32)
     variant("fwd raster FUSED tps32 empty", e=starts, tiles_per_step=32)
     variant("fwd raster FUSED nbuf8 tps16", tiles_per_step=16, n_buf=8)
+    variant("fwd raster FUSED tps64", tiles_per_step=64)
+    variant("fwd raster FUSED tps64 empty", e=starts, tiles_per_step=64)
     return starts, ends, packed, tile_ids
 
 
@@ -136,6 +140,8 @@ def run_bwd(cp, args, pre=None):
     variant("bwd raster empty",
             s=starts, e=starts, fi=jnp.full_like(fidx, -1))
     variant("bwd raster tps8", tiles_per_step=8)
+    variant("bwd raster tps16", tiles_per_step=16)
+    variant("bwd raster tps32 nbuf6", tiles_per_step=32, n_buf=6)
 
 
 def run_stages(cp, args):

@@ -24,6 +24,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from brush_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from brush_tpu.camera import Camera
