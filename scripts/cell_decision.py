@@ -58,26 +58,45 @@ def main():
               f"max {max(covs):.3f})")
 
     if "--time" in sys.argv:
+        # --right-size: give each cell a pool sized to its own measured
+        # record count (x1.25, rounded to k_lanes) instead of a shared
+        # 2M pool — the fixed pool runs every pool-scale stage (sorts,
+        # expand) at the SAME size for both cells, erasing exactly the
+        # advantage cell grouping exists to buy.
+        right_size = "--right-size" in sys.argv
         v = ds.eval.views[0]
         h, w = v.image.shape[:2]
         cp = camera_params(v.camera, (w, h))
         for cell in ((1, 1), (2, 2)):
+            mi = 1 << 21
+            if right_size:
+                probe = jax.jit(lambda cell=cell: render_splats(
+                    sp.means, sp.log_scales, sp.quats, sp.sh_coeffs,
+                    sp.raw_opacity, cp, (w, h), active=sp.active_mask(),
+                    block_size=512, max_isects=1 << 21,
+                    cell=cell)[1].num_isects)
+                n_rec = int(jax.block_until_ready(probe()))
+                mi = ((int(n_rec * 1.25) + 511) // 512) * 512
+                print(f"cell {cell}: right-sized pool {mi} "
+                      f"(records {n_rec})", flush=True)
+
             @jax.jit
-            def fwd(cell=cell):
+            def fwd(cell=cell, mi=mi):
                 img, aux = render_splats(
                     sp.means, sp.log_scales, sp.quats, sp.sh_coeffs,
                     sp.raw_opacity, cp, (w, h), active=sp.active_mask(),
-                    block_size=512, max_isects=1 << 21, cell=cell)
+                    block_size=512, max_isects=mi, cell=cell)
                 return img, aux.num_isects
             img, iso = jax.block_until_ready(fwd())
             ts = []
-            for _ in range(12):
-                t0 = time.perf_counter()
-                img, iso = fwd()
+            for _ in range(6):  # amortized batches: cancel the ~27 ms
+                t0 = time.perf_counter()  # per-sync tunnel constant
+                for _ in range(8):
+                    img, iso = fwd()
                 np.asarray(iso)
-                ts.append(time.perf_counter() - t0)
+                ts.append((time.perf_counter() - t0) / 8)
             print(f"cell {cell}: fwd median {np.median(ts)*1e3:.2f} ms "
-                  f"(isects {int(iso)})", flush=True)
+                  f"amortized (isects {int(iso)})", flush=True)
 
 
 if __name__ == "__main__":

@@ -54,30 +54,34 @@ def run_headline(cp, args):
     }
     opt = init_adam(params)
 
-    @jax.jit
-    def train_step(params, opt):
-        def loss_fn(p):
-            img, _ = render_splats(
-                p["means"], p["log_scales"], p["quats"], p["sh_coeffs"],
-                p["raw_opacity"], cp, IMG, block_size=512,
-                max_isects=MAX_ISECTS)
-            return jnp.mean(jnp.abs(img[..., :3] - gt))
+    def make_train_step(pgs):
+        @jax.jit
+        def train_step(params, opt):
+            def loss_fn(p):
+                img, _ = render_splats(
+                    p["means"], p["log_scales"], p["quats"], p["sh_coeffs"],
+                    p["raw_opacity"], cp, IMG, block_size=512,
+                    max_isects=MAX_ISECTS, pack_grad_sort=pgs)
+                return jnp.mean(jnp.abs(img[..., :3] - gt))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        lrs = {"means": 1.6e-4, "raw_opacity": 5e-2, "sh_coeffs": 4e-3,
-               "quats": 2e-3, "log_scales": 1e-2}
-        params, opt = adam_step(params, grads, opt, lrs)
-        return params, opt, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            lrs = {"means": 1.6e-4, "raw_opacity": 5e-2, "sh_coeffs": 4e-3,
+                   "quats": 2e-3, "log_scales": 1e-2}
+            params, opt = adam_step(params, grads, opt, lrs)
+            return params, opt, loss
+        return train_step
 
-    st = [params, opt]
+    for pgs in (False, True):
+        train_step = make_train_step(pgs)
+        st = [params, opt]
 
-    def stepper():
-        st[0], st[1], loss = train_step(st[0], st[1])
-        return (loss,)
+        def stepper():
+            st[0], st[1], loss = train_step(st[0], st[1])
+            return (loss,)
 
-    dt = median_time(stepper, ())
-    report("train step", dt)
-    print(f"  -> {1.0 / dt:.2f} it/s", flush=True)
+        dt = median_time(stepper, ())
+        report(f"train step (pack_grad_sort={pgs})", dt)
+        print(f"  -> {1.0 / dt:.2f} it/s", flush=True)
 
 
 def run_raster(cp, args):
@@ -86,23 +90,34 @@ def run_raster(cp, args):
     tile_ids = jnp.arange(NUM_TILES, dtype=jnp.int32)
 
     def variant(name, s=None, e=None, **kw):
+        kl = kw.get("k_lanes", K)
+        # packed is padded to MAX_ISECTS + k_lanes; re-pad for non-512 kl.
+        pk = packed[:, :MAX_ISECTS + kl] if kl <= K else jnp.pad(
+            packed, ((0, 0), (0, kl - K)))
+
         def fn(starts_, ends_, packed_):
             return rasterize_fwd_pallas(
                 packed_, starts_, ends_, tile_ids, tiles_x=TILES_X,
                 num_tiles=NUM_TILES, max_isects=MAX_ISECTS, **kw)
-        dt = median_time(
-            fn, (s if s is not None else starts,
-                 e if e is not None else ends, packed))
+        try:
+            dt = median_time(
+                fn, (s if s is not None else starts,
+                     e if e is not None else ends, pk))
+        except Exception as exc:  # VMEM OOM at large tps: record, move on
+            print(f"{name:46s}    FAILED ({type(exc).__name__}: "
+                  f"{str(exc)[:80]})", flush=True)
+            return
         report(name, dt)
 
     variant("fwd raster FUSED base (tps8 nbuf6)")
     variant("fwd raster FUSED empty", e=starts)
     variant("fwd raster FUSED tps16", tiles_per_step=16)
-    variant("fwd raster FUSED tps32", tiles_per_step=32)
-    variant("fwd raster FUSED tps32 empty", e=starts, tiles_per_step=32)
+    variant("fwd raster FUSED tps16 empty", e=starts, tiles_per_step=16)
+    # tps > 16 at k512 blows the 16 MB scoped-VMEM limit (the fused
+    # output stack is tps * 256px * 6 f32 rows); pair tps32 with k256.
+    variant("fwd raster FUSED tps32 k256", tiles_per_step=32, k_lanes=256)
     variant("fwd raster FUSED nbuf8 tps16", tiles_per_step=16, n_buf=8)
-    variant("fwd raster FUSED tps64", tiles_per_step=64)
-    variant("fwd raster FUSED tps64 empty", e=starts, tiles_per_step=64)
+    variant("fwd raster FUSED k1024", k_lanes=1024)
     return starts, ends, packed, tile_ids
 
 
@@ -129,10 +144,15 @@ def run_bwd(cp, args, pre=None):
                 packed_, v_out_, log_t_, fidx_, starts_, ends_, tile_ids,
                 tiles_x=TILES_X, num_tiles=NUM_TILES,
                 max_isects=MAX_ISECTS, **kw)
-        dt = median_time(fn, (packed, v_out, log_t,
-                              fi if fi is not None else fidx,
-                              s if s is not None else starts,
-                              e if e is not None else ends))
+        try:
+            dt = median_time(fn, (packed, v_out, log_t,
+                                  fi if fi is not None else fidx,
+                                  s if s is not None else starts,
+                                  e if e is not None else ends))
+        except Exception as exc:
+            print(f"{name:46s}    FAILED ({type(exc).__name__}: "
+                  f"{str(exc)[:80]})", flush=True)
+            return
         report(name, dt)
 
     variant("bwd raster base (tps4 nbuf4)")
