@@ -250,11 +250,18 @@ def main():
 
     params = jax.device_put(splats.params())
     opt = init_adam(params)
-    state = [params, opt]
     train_step = make_train((hi_res, hi_res), 1.0)
 
+    # FIXED params every call (methodology v3, round 5): feeding updates
+    # back while the loss pulls toward a black gt collapses the model
+    # within the measurement batches — opacities crash, tile ranges
+    # empty, and the batch medians report empty-range kernel costs
+    # instead of real work (measured: 52 ms "train" vs 115 ms honest at
+    # the r5 bench point; rounds 3-4 under-reported the same way). The
+    # full fwd+bwd+Adam program still runs every call; only the state
+    # feedback loop is cut.
     def step_once():
-        state[0], state[1], loss = train_step(state[0], state[1])
+        _p, _o, loss = train_step(params, opt)
         return loss
 
     dt_train = _amortized_time(
@@ -273,10 +280,16 @@ def main():
         # Headline timing methodology, versioned so round-over-round
         # comparisons can tell a methodology change from a speedup:
         # v1 (rounds 1-2) = per-call-synced latency (now fwd_ms_synced);
-        # v2 (round 3+) = amortized batch-8 async dispatch, one sync (see
-        # _amortized_time) — the tunnel's ~27 ms per-sync constant
-        # (dispatch_const_ms) is tunnel latency, not device time.
-        "methodology": "v2_amortized_batch8",
+        # v2 (rounds 3-4) = amortized batch-8 async dispatch, one sync
+        # (see _amortized_time) — the tunnel's ~27 ms per-sync constant
+        # (dispatch_const_ms) is tunnel latency, not device time;
+        # v3 (round 5+) = v2 + train points run at FIXED params (rounds
+        # 3-4 fed updates back, the model collapsed toward the black gt
+        # inside the batches, and train_step_ms under-reported real work;
+        # the round-5 pipeline measures ~116 ms under v3 — what the r3/r4
+        # pipelines would have read under v3 is unknown, only bounded
+        # below by their recorded 135/106).
+        "methodology": "v3_amortized_batch8_fixed_params",
         "fwd_ms": round(dt_fwd * 1e3, 2),
         "fwd_ms_synced": round(dt_fwd_sync * 1e3, 2),
         "dispatch_const_ms": round(dconst * 1e3, 2),
@@ -328,12 +341,13 @@ def main():
             matrix_dropped[key] = dropped
 
     def measure_train_point(key, img_size, d):
+        # Fixed params (methodology v3) — see the headline train comment.
         p = {k: v for k, v in params.items()}
-        st = [p, init_adam(p)]
+        o = init_adam(p)
         ts = make_train(img_size, d)
 
         def stepper():
-            st[0], st[1], loss = ts(st[0], st[1])
+            _p, _o, loss = ts(p, o)
             return loss
 
         matrix[key] = round(_amortized_time(

@@ -103,7 +103,7 @@ def make_pallas_pipeline(
     k_lanes: int = 512, k_exp: int = 512, raster_tiles: int | None = None,
     interpret: bool = False, tiles_per_step: int = 8, n_buf: int = 6,
     scan_passes: int = 2, pack_grad_sort: bool = False, cell=(1, 1),
-    needs_grad: bool = True,
+    needs_grad: bool = True, bwd_tiles_per_step: int | None = None,
 ):
     """Full record pipeline as one custom-VJP function.
 
@@ -352,7 +352,10 @@ def make_pallas_pipeline(
             # The backward's VMEM stack (gbuf/zbuf/mbuf output ring) scales
             # with both knobs; tps=4/n_buf=4 are its measured-best settings
             # (round-2 table) while the fwd wants 8/6 (round-3 iso sweep).
-            tiles_per_step=min(tiles_per_step, 4), n_buf=min(n_buf, 4),
+            # bwd_tiles_per_step overrides the clamp for measurement.
+            tiles_per_step=(bwd_tiles_per_step if bwd_tiles_per_step
+                            else min(tiles_per_step, 4)),
+            n_buf=min(n_buf, 4),
             scan_passes=scan_passes, cell=cell,
         )  # (16, max_isects + k_lanes), tile order
         # The pool is strip-local (every valid record belongs to this

@@ -135,7 +135,8 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
 
 def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
                    max_isects, k_lanes, interpret, scan_passes=2,
-                   pack_grad_sort=False, cell=(1, 1), needs_grad=True):
+                   pack_grad_sort=False, cell=(1, 1), needs_grad=True,
+                   bwd_tiles_per_step=None):
     """TPU record pipeline (see ops/pallas/raster_vjp.py).
 
     xy/conic/color/opac are differentiable; proj/masks are stop-gradient
@@ -170,6 +171,7 @@ def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
         tiles_x, num_tiles, max_isects, n, k_lanes=k_lanes,
         interpret=interpret, scan_passes=scan_passes,
         pack_grad_sort=pack_grad_sort, cell=cell, needs_grad=needs_grad,
+        bwd_tiles_per_step=bwd_tiles_per_step,
     )
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     img_tiles, order, total, raw_total = raster(
@@ -197,6 +199,7 @@ def render_splats(
     pack_grad_sort: bool = False,
     cell: tuple = (1, 1),
     needs_grad: bool = True,
+    bwd_tiles_per_step: int | None = None,
 ) -> tuple[jnp.ndarray, RenderAux]:
     """Render (h, w, 4) RGBA. img_size is (w, h) static.
 
@@ -210,7 +213,9 @@ def render_splats(
     the in-kernel log-T scan input to 16 mantissa bits — lossy but bounded
     (<= 2^-16 relative on log T; measured 2e-7 image delta at the bench
     config); scan_passes=3 recovers exactness. pack_grad_sort defaults
-    off (exact); cell=(1, 1) is exact.
+    off (exact); cell=(1, 1) is exact. bwd_tiles_per_step overrides the
+    backward raster kernel's tiles-per-grid-step clamp (default: the
+    fwd's tiles_per_step clamped to 4 — see raster_vjp).
     cell=(gw, gh) rasterizes in cells of gw x gh tiles: one record per
     splat x cell shrinks every pool-scale stage by the multi-tile-coverage
     factor at the cost of sweeping 256*gw*gh pixels per record.
@@ -271,6 +276,7 @@ def render_splats(
             interpret=jax.default_backend() == "cpu",
             scan_passes=scan_passes, pack_grad_sort=pack_grad_sort,
             cell=cell, needs_grad=needs_grad,
+            bwd_tiles_per_step=bwd_tiles_per_step,
         )
         num_visible = jnp.sum(proj.visible).astype(jnp.int32)
         aux = RenderAux(

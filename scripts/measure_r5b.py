@@ -54,14 +54,15 @@ def run_headline(cp, args):
     }
     opt = init_adam(params)
 
-    def make_train_step(pgs):
+    def make_train_step(pgs, bwd_tps=None):
         @jax.jit
         def train_step(params, opt):
             def loss_fn(p):
                 img, _ = render_splats(
                     p["means"], p["log_scales"], p["quats"], p["sh_coeffs"],
                     p["raw_opacity"], cp, IMG, block_size=512,
-                    max_isects=MAX_ISECTS, pack_grad_sort=pgs)
+                    max_isects=MAX_ISECTS, pack_grad_sort=pgs,
+                    bwd_tiles_per_step=bwd_tps)
                 return jnp.mean(jnp.abs(img[..., :3] - gt))
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -71,16 +72,23 @@ def run_headline(cp, args):
             return params, opt, loss
         return train_step
 
-    for pgs in (False, True):
-        train_step = make_train_step(pgs)
-        st = [params, opt]
+    for pgs, bwd_tps in ((False, None), (True, None), (False, 8),
+                         (True, 8)):
+        train_step = make_train_step(pgs, bwd_tps)
 
+        # FIXED params (bench methodology v3): feeding updates back
+        # collapses the model toward the black gt inside the measurement
+        # batches and reports empty-range kernel costs instead of real
+        # work. ALSO: median_time wraps its fn in an OUTER jax.jit, so a
+        # stepper that returns only the loss lets XLA dead-code-eliminate
+        # the whole backward+Adam inside the outer trace (measured: 52 ms
+        # "train" vs 116 ms honest — scripts/sync_cone_probe.py). Return
+        # the FULL output tuple so nothing is DCE-able.
         def stepper():
-            st[0], st[1], loss = train_step(st[0], st[1])
-            return (loss,)
+            return train_step(params, opt)
 
         dt = median_time(stepper, ())
-        report(f"train step (pack_grad_sort={pgs})", dt)
+        report(f"train step FIXED (pgs={pgs} bwd_tps={bwd_tps})", dt)
         print(f"  -> {1.0 / dt:.2f} it/s", flush=True)
 
 
