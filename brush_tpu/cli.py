@@ -368,10 +368,13 @@ def main(argv=None):
     t.add_argument("--refine-every", type=int, default=100)
     t.add_argument("--faithful-reference-refine", action="store_true",
                    help="replicate the reference's refine quirks exactly")
-    t.add_argument("--pack-grad-sort", action="store_true",
+    t.add_argument("--pack-grad-sort", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="backward grad re-sort carries conic/color "
                         "cotangents as bf16 pairs (7 instead of 10 "
-                        "pool-scale payload rows)")
+                        "pool-scale payload rows); ON by default since "
+                        "round 5 (quality-gated) — --no-pack-grad-sort "
+                        "recovers exact f32 cotangents")
     t.add_argument("--shard", action="store_true",
                    help="shard training over all visible devices "
                         "(gaussian+tile sharding, sharded refinement)")

@@ -102,7 +102,7 @@ def make_pallas_pipeline(
     tiles_x: int, num_tiles: int, max_isects: int, n: int,
     k_lanes: int = 512, k_exp: int = 512, raster_tiles: int | None = None,
     interpret: bool = False, tiles_per_step: int = 8, n_buf: int = 6,
-    scan_passes: int = 2, pack_grad_sort: bool = False, cell=(1, 1),
+    scan_passes: int = 2, pack_grad_sort: bool = True, cell=(1, 1),
     needs_grad: bool = True, bwd_tiles_per_step: int | None = None,
 ):
     """Full record pipeline as one custom-VJP function.

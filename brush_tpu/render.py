@@ -135,7 +135,7 @@ def pack_rgba_u32(img: jnp.ndarray) -> jnp.ndarray:
 
 def _render_pallas(xy, conic, color, opac, proj, masks, tiles_x, tiles_y,
                    max_isects, k_lanes, interpret, scan_passes=2,
-                   pack_grad_sort=False, cell=(1, 1), needs_grad=True,
+                   pack_grad_sort=True, cell=(1, 1), needs_grad=True,
                    bwd_tiles_per_step=None):
     """TPU record pipeline (see ops/pallas/raster_vjp.py).
 
@@ -196,7 +196,7 @@ def render_splats(
     block_size: int = 32,
     backend: str = "auto",
     scan_passes: int = 2,
-    pack_grad_sort: bool = False,
+    pack_grad_sort: bool = True,
     cell: tuple = (1, 1),
     needs_grad: bool = True,
     bwd_tiles_per_step: int | None = None,
@@ -212,8 +212,13 @@ def render_splats(
     raster_vjp.make_pallas_pipeline). The default scan_passes=2 truncates
     the in-kernel log-T scan input to 16 mantissa bits — lossy but bounded
     (<= 2^-16 relative on log T; measured 2e-7 image delta at the bench
-    config); scan_passes=3 recovers exactness. pack_grad_sort defaults
-    off (exact); cell=(1, 1) is exact. bwd_tiles_per_step overrides the
+    config); scan_passes=3 recovers exactness. pack_grad_sort defaults ON since
+    round 5 — the backward's conic/color per-record cotangents ride the
+    grad re-sort as bf16 pairs (10 -> 7 pool-scale payload rows,
+    measured -6 ms/step at the 1M bench point) — gated by a 9k-iter
+    training run matching the exact pipeline within 0.05 dB at every
+    eval (docs/RESULTS.md round-5 appendix); pack_grad_sort=False
+    recovers exact f32 cotangents. cell=(1, 1) is exact. bwd_tiles_per_step overrides the
     backward raster kernel's tiles-per-grid-step clamp (default: the
     fwd's tiles_per_step clamped to 4 — see raster_vjp).
     cell=(gw, gh) rasterizes in cells of gw x gh tiles: one record per

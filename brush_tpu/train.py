@@ -116,7 +116,7 @@ class SplatTrainer:
 
     def __init__(self, config: TrainConfig | None = None,
                  raster_block_size: int = 32, raster_cell=(1, 1),
-                 pack_grad_sort: bool = False):
+                 pack_grad_sort: bool = True):
         self.config = config or TrainConfig()
         self.iter = 0
         self.raster_block_size = raster_block_size
@@ -125,8 +125,9 @@ class SplatTrainer:
         self.raster_cell = tuple(raster_cell)
         # pack_grad_sort (render_splats knob): the backward's conic/color
         # cotangents ride the grad re-sort as bf16 pairs (10 -> 7 pool-
-        # scale payload rows). Off by default; gated by a training-quality
-        # run (docs/RESULTS.md round 5).
+        # scale payload rows). ON by default since round 5: quality-gated
+        # by a 9k-iter run (0.05 dB parity, docs/RESULTS.md round-5
+        # appendix), -6 ms/step measured at the 1M bench point.
         self.pack_grad_sort = pack_grad_sort
         # Adaptive intersection-pool size: sorting the pool dominates step
         # time if it is oversized, so start modest and grow on pressure

@@ -144,12 +144,15 @@ def main():
     # sort_rep = replicated N-scale sorts, pool = pool-scale stages.
     print("\nanalytic projection from measured single-chip stage buckets"
           " (1M splats, 1024^2, docs/PERFORMANCE.md r5):")
+    # Measured r5 buckets (docs/PERFORMANCE.md "Round-5 changes"):
+    # fwd 54.6 = prep 7.1 + depth sort 6.6 + pool-scale 40.9;
+    # bwd 52.4 = autodiff tail 1.0 + inversion sort 5.5 + pool 45.9.
     stages = {
-        "fwd": {"proj": 6.5, "sort_rep": 6.6, "pool": 41.1},
-        "bwd": {"proj": 1.0, "sort_rep": 5.5, "pool": 45.0},
+        "fwd": {"proj": 7.1, "sort_rep": 6.6, "pool": 40.9},
+        "bwd": {"proj": 1.0, "sort_rep": 5.5, "pool": 45.9},
     }
     for nd in (1, 2, 4, 8, 16):
-        for slack in (2.0, 1.3):
+        for slack in (2.0, 1.3, 1.0):
             p = project_efficiency(stages, nd, slack)
             print(f"  n_dev={nd:2d} slack={slack}: {p['t_ms']:7.2f} ms "
                   f"(ici {p['ici_ms']:5.2f}) speedup {p['speedup']:5.2f} "

@@ -94,8 +94,12 @@ def test_golden_forward_and_grads(case, backend):
     _allclose(np.asarray(proj.depth)[vis], t["depths"][vis], 1e-4, 1e-6,
               "depths")
 
+    # pack_grad_sort=False: golden fixtures gate the EXACT math; the
+    # lossy-but-bounded default (bf16-pair conic/color cotangents since
+    # round 5) is bounded separately by
+    # test_pipeline_perf_variants_match_baseline.
     kw = dict(block_size=64 if backend == "pallas" else 16,
-              backend=backend, max_isects=4096)
+              backend=backend, max_isects=4096, pack_grad_sort=False)
 
     def loss_fn(means, log_scales, quats, coeffs, raw_op, xy_dummy):
         img, _ = render_splats(means, log_scales, quats, coeffs, raw_op,
