@@ -79,7 +79,8 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
     def kernel(starts_ref, ends_ref, tile_ids_ref,
                packed_hbm, vout_ref, logt_ref, fidx_ref,
                grads_hbm,
-               buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem):
+               buf, gbuf, zbuf, mbuf, in_sem, out_sem, m_sem,
+               lt_ref, sb_ref):
         step = pl.program_id(0)
         t0 = step * g_tiles
         a_p = _pixel_basis_a(cell=cell)
@@ -195,8 +196,10 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
                         out_sem.at[(first - j) % 2],
                     ).wait()
 
-        def process(g, b, ci, log_t_end, s_behind):
+        def process(g, b, ci):
             start, end, base, nb, first = rng(g)
+            log_t_end = lt_ref[...]
+            s_behind = sb_ref[...]
             cx_t, cy_t = _tile_center(tile_ids_ref, t0 + g, tiles_x,
                                       cell=cell)
             v_out = vout_ref[pl.ds(g, 1)][0]     # (P, 4)
@@ -339,21 +342,26 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
             gbuf[(first - b) % 2] = jnp.where(keep_prev, mbuf[:, :], vals)
             wdma(b).start()
 
-            return (g, b - 1, ci + 1,
-                    log_t_end - m_tot, s_behind + c_tot)
+            lt_ref[...] = log_t_end - m_tot
+            sb_ref[...] = s_behind + c_tot
 
         def body(carry):
-            (g, b, ci, ni, gp, bp, log_t_end, s_behind) = carry
+            # Per-pixel sweep state (log_t_end, s_behind) lives in VMEM
+            # scratch, not the carry: a lax.cond over carried vectors made
+            # Mosaic compute BOTH the transition and the full process
+            # chain every iteration (see rasterize_fwd — same fix).
+            (g, b, ci, ni, gp, bp) = carry
             # b < 0: tile g's sweep is complete (or g == -1 at entry) —
             # transition: retire g's ring writes, then enter tile g+1
-            # (suffix zero-fill + fresh carry). Ordering: the drain must
+            # (suffix zero-fill + fresh state). Ordering: the drain must
             # precede the next tile's zero-fill (shared out_sem ring) AND
             # its batch-0 boundary read-back — both guaranteed here by the
             # transition running them sequentially, exactly as the per-tile
             # code did across _run_tile calls.
             trans = b < 0
 
-            def do_trans(g, b, ci, log_t_end, s_behind):
+            @pl.when(trans)
+            def _():
                 @pl.when(g >= 0)
                 def _():
                     drain(g)
@@ -363,19 +371,23 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
                 def _():
                     zero_fill(gn)
                 gs = jnp.minimum(gn, g_tiles - 1)
-                lt = logt_ref[pl.ds(gs, 1)][0]      # (P, 1)
                 # Empty tiles enter with first = -1 and transition again
                 # next iteration; past the last tile the clamped values are
                 # garbage but the loop cond (g < g_tiles) exits first.
-                return (gn, rng(gs)[4], ci, lt,
-                        jnp.zeros_like(s_behind))
+                lt_ref[...] = logt_ref[pl.ds(gs, 1)][0]      # (P, 1)
+                sb_ref[...] = jnp.zeros((p, 1), jnp.float32)
 
-            state = jax.lax.cond(
-                trans, do_trans, process, g, b, ci, log_t_end, s_behind
-            )
-            g, b, ci, log_t_end, s_behind = state
+            @pl.when(jnp.logical_not(trans))
+            def _():
+                process(g, b, ci)
+
+            gn = g + 1
+            gs = jnp.minimum(gn, g_tiles - 1)
+            g = jnp.where(trans, gn, g)
+            b = jnp.where(trans, rng(gs)[4], b - 1)
+            ci = jnp.where(trans, ci, ci + 1)
             ni, gp, bp = refill(ci, ni, gp, bp)
-            return (g, b, ci, ni, gp, bp, log_t_end, s_behind)
+            return (g, b, ci, ni, gp, bp)
 
         def cond(carry):
             return carry[0] < g_tiles
@@ -384,10 +396,9 @@ def _make_bwd_kernel(tiles_x: int, k_lanes: int,
         # Prime the pipe from tile 0's deepest compute batch; refill walks
         # forward through empty tiles on its own (bp == -1 advances).
         init_cursors = refill(i0, i0, i0, rng(0)[4])
-        zlt = jnp.zeros((p, 1), jnp.float32)
         init = (
             jnp.full((), -1, jnp.int32), jnp.full((), -1, jnp.int32), i0,
-            *init_cursors, zlt, zlt,
+            *init_cursors,
         )
         jax.lax.while_loop(cond, body, init)
 
@@ -475,6 +486,10 @@ def rasterize_bwd_pallas(
             pltpu.SemaphoreType.DMA((n_buf,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
+            # Per-pixel sweep state (log_t_end, s_behind) as refs so the
+            # transition/process choice is a real branch (see kernel body).
+            pltpu.VMEM((TILE_SIZE * cell[0] * cell[1], 1), jnp.float32),
+            pltpu.VMEM((TILE_SIZE * cell[0] * cell[1], 1), jnp.float32),
         ],
     )
     (grads,) = pl.pallas_call(

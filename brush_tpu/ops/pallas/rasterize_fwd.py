@@ -296,11 +296,19 @@ def _make_kernel(tiles_x: int, k_lanes: int,
 
     def kernel(starts_ref, ends_ref, tile_ids_ref, packed_hbm,
                img_ref, logt_ref, fidx_ref,
-               buf, sem):
+               buf, sem, lt_ref, alv_ref, acc_ref, fx_ref):
         step = pl.program_id(0)
         t0 = step * g_tiles
         a_p = _pixel_basis_a(cell=cell)  # tile-independent: once per step
         lane_idx = jax.lax.broadcasted_iota(jnp.int32, (1, k_lanes), 1)
+
+        def reset_state():
+            lt_ref[...] = jnp.zeros((p, 1), jnp.float32)
+            alv_ref[...] = jnp.ones((p, 1), jnp.float32)
+            acc_ref[...] = jnp.zeros((p, 4), jnp.float32)
+            fx_ref[...] = jnp.full((p, 1), -1, jnp.int32)
+
+        reset_state()  # per-pixel state never crosses grid steps
 
         def rng(g):
             """start/end/base/num_batches of in-step tile g (scalars)."""
@@ -344,19 +352,29 @@ def _make_kernel(tiles_x: int, k_lanes: int,
             return jax.lax.while_loop(r_cond, r_body, (ci, ni, gp, bp))[1:]
 
         def body(carry):
-            (g, b, ci, ni, gp, bp,
-             log_t, alive, rgb_r, rgb_g, rgb_b, fidx) = carry
+            # Per-pixel state (log_t / alive / rgb / fidx) lives in VMEM
+            # scratch, NOT the loop carry: carried vector state forced the
+            # finish-vs-process choice through lax.cond over 6 vector
+            # operands, which Mosaic lowers by computing BOTH branches and
+            # selecting — every tile-finish iteration paid the full
+            # process-path vector chain (measured ~2.3 us/tile on empty
+            # frames, flat from tps8 to tps16). With state in refs the two
+            # paths are pl.when regions (real branches).
+            (g, b, ci, ni, gp, bp) = carry
             start, end, base, nb = rng(g)
-            fin = (b >= nb) | (jnp.max(alive) <= 0.5)
+            fin = (b >= nb) | (jnp.max(alv_ref[...]) <= 0.5)
 
             @pl.when(fin)
             def _():
                 # Tile g done: outputs at a dynamic in-block index.
+                log_t = lt_ref[...]
                 alpha_out = 1.0 - jnp.exp(log_t)
                 img_ref[pl.ds(g, 1)] = jnp.concatenate(
-                    [rgb_r, rgb_g, rgb_b, alpha_out], axis=1)[None]
+                    [acc_ref[:, 0:1], acc_ref[:, 1:2], acc_ref[:, 2:3],
+                     alpha_out], axis=1)[None]
                 logt_ref[pl.ds(g, 1)] = log_t[None]
-                fidx_ref[pl.ds(g, 1)] = fidx[None]
+                fidx_ref[pl.ds(g, 1)] = fx_ref[...][None]
+                reset_state()
 
             # Discard tile g's in-flight copies on early-out (issue order =
             # consume order, and the cursor walks tile-by-tile, so they are
@@ -377,7 +395,8 @@ def _make_kernel(tiles_x: int, k_lanes: int,
             bp = jnp.where(fin_jump, 0, bp)
             gp = jnp.where(fin_jump, g + 1, gp)
 
-            def process(log_t, alive, rgb_r, rgb_g, rgb_b, fidx):
+            @pl.when(jnp.logical_not(fin))
+            def _():
                 dma(ci % n_buf, g, b).wait()
                 blk = buf[ci % n_buf]  # (8, K) u32
                 dec = unpack_record_rows(blk)
@@ -417,6 +436,8 @@ def _make_kernel(tiles_x: int, k_lanes: int,
                 else:
                     csum = _cumsum_lanes_mxu(lom, k_lanes,
                                              passes=scan_passes)
+                log_t = lt_ref[...]
+                alive = alv_ref[...]
                 log_t_after = log_t + csum
                 # The early-out is STICKY (reference: rasterize.wgsl:87-90
                 # sets `done` and breaks without compositing the crossing
@@ -424,8 +445,7 @@ def _make_kernel(tiles_x: int, k_lanes: int,
                 # crossing lane was excluded "revive" in a later batch —
                 # and the backward's T-reconstruction (which replays
                 # everything below final_index) then diverges explosively.
-                # alive rides the carry as f32 (Mosaic cannot yield i1
-                # vectors).
+                # alive rides VMEM as f32 (Mosaic cannot store i1 vectors).
                 act = (alive > 0.5) & (log_t_after > LOG_T_EPS)
                 if "trans" in ablate:
                     t_before = 1.0 + (log_t_after - lom)
@@ -434,56 +454,39 @@ def _make_kernel(tiles_x: int, k_lanes: int,
                 fac = alpha * t_before * jnp.where(act, 1.0, 0.0)
 
                 if "rgb" not in ablate:
-                    rgb_r = rgb_r + jnp.sum(fac * dec[5], axis=1,
-                                            keepdims=True)
-                    rgb_g = rgb_g + jnp.sum(fac * dec[6], axis=1,
-                                            keepdims=True)
-                    rgb_b = rgb_b + jnp.sum(fac * dec[7], axis=1,
-                                            keepdims=True)
-                log_t = log_t + jnp.sum(
+                    acc_ref[:, 0:1] += jnp.sum(fac * dec[5], axis=1,
+                                               keepdims=True)
+                    acc_ref[:, 1:2] += jnp.sum(fac * dec[6], axis=1,
+                                               keepdims=True)
+                    acc_ref[:, 2:3] += jnp.sum(fac * dec[7], axis=1,
+                                               keepdims=True)
+                lt_ref[...] = log_t + jnp.sum(
                     jnp.where(act, lom, 0.0), axis=1, keepdims=True
                 )
-                alive = jnp.where(
+                alv_ref[...] = jnp.where(
                     log_t_after[:, k_lanes - 1:k_lanes] > LOG_T_EPS,
                     alive, 0.0,
                 )
                 if "fidx" not in ablate:
                     contributed = act & (alpha > 0.0)
-                    fidx = jnp.maximum(
-                        fidx,
+                    fx_ref[...] = jnp.maximum(
+                        fx_ref[...],
                         jnp.max(jnp.where(contributed, isect_idx, -1),
                                 axis=1, keepdims=True),
                     )
-                return log_t, alive, rgb_r, rgb_g, rgb_b, fidx
-
-            def reset(log_t, alive, rgb_r, rgb_g, rgb_b, fidx):
-                z = jnp.zeros((p, 1), jnp.float32)
-                return (z, jnp.ones((p, 1), jnp.float32), z, z, z,
-                        jnp.full((p, 1), -1, jnp.int32))
-
-            state = (log_t, alive, rgb_r, rgb_g, rgb_b, fidx)
-            state = jax.lax.cond(fin, reset, process, *state)
-            log_t, alive, rgb_r, rgb_g, rgb_b, fidx = state
 
             ci = jnp.where(fin, ci, ci + 1)
             b = jnp.where(fin, 0, b + 1)
             g = jnp.where(fin, g + 1, g)
             ni, gp, bp = refill(ci, ni, gp, bp)
-            return (g, b, ci, ni, gp, bp,
-                    log_t, alive, rgb_r, rgb_g, rgb_b, fidx)
+            return (g, b, ci, ni, gp, bp)
 
         def cond(carry):
             return carry[0] < g_tiles
 
-        z = jnp.zeros((p, 1), jnp.float32)
         i0 = jnp.zeros((), jnp.int32)
         init_cursors = refill(i0, i0, i0, i0)
-        init = (
-            i0, i0, i0, *init_cursors,
-            z, jnp.ones((p, 1), jnp.float32), z, z, z,
-            jnp.full((p, 1), -1, jnp.int32),
-        )
-        jax.lax.while_loop(cond, body, init)
+        jax.lax.while_loop(cond, body, (i0, i0, i0, *init_cursors))
 
     return kernel
 
@@ -543,6 +546,13 @@ def rasterize_fwd_pallas(
         scratch_shapes=[
             pltpu.VMEM((n_buf, PACK_ROWS, k_lanes), jnp.uint32),
             pltpu.SemaphoreType.DMA((n_buf,)),
+            # Per-pixel tile state (log_t, alive, rgb accum, final idx):
+            # VMEM refs so finish/process are real pl.when branches instead
+            # of a both-branches lax.cond over carried vectors.
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.float32),
+            pltpu.VMEM((p, 4), jnp.float32),
+            pltpu.VMEM((p, 1), jnp.int32),
         ],
     )
     img, log_t, fidx = pl.pallas_call(

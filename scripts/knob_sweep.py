@@ -93,12 +93,14 @@ def main():
     if mode in ("train", "all"):
         params = jax.device_put(splats.params())
         for pgs, sp in ((False, 3), (True, 3), (True, 2)):
-            st = [dict(params), init_adam(params)]
+            # FIXED params + full outputs: the old feedback stepper both
+            # collapsed the model mid-measurement AND let the outer jit
+            # DCE the backward (docs/PERFORMANCE.md round 5).
+            opt0 = init_adam(params)
             step = train(pgs, sp)
 
             def once():
-                st[0], st[1], loss = step(st[0], st[1])
-                return (loss,)
+                return step(dict(params), opt0)
 
             dt = median_time(lambda: once(), ())
             print(f"train cell={CELL} pack_grad_sort={pgs} scan_passes={sp}:"

@@ -85,10 +85,13 @@ def main():
           f"loss={float(loss):.4f} isects={int(ni)} dropped={int(nd)}",
           flush=True)
 
+    # FIXED params every call (bench methodology v3): feeding updates
+    # back collapses the model toward the background inside the timing
+    # loop and under-reports real work (see docs/PERFORMANCE.md round 5).
     times = []
     for _ in range(8):
         t0 = time.perf_counter()
-        params, opt, loss, ni, nd = train_step(params, opt)
+        _p, _o, loss, ni, nd = train_step(params, opt)
         _ = float(loss)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
